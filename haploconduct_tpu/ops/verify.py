@@ -1,0 +1,289 @@
+"""Overlap verification: candidate overlaps -> scored edge candidates.
+
+Implements the type/orientation case algebra of the reference's
+EdgeCalculator (src/EdgeCalculator.cpp:143-385) as a vectorized planner:
+every overlap, regardless of its S-S / S-P / P-S / P-P case, reduces to one
+or two aligned window-scoring *tasks* which are batched onto the device
+kernel (ops/score.py); scores are then combined and thresholded on host.
+
+Unified case analysis (derived from the reference's 16 hand-written cases):
+for read X with orientation oX define the oriented *lead* and *trail* rows
+  single X: lead = trail = oriented(unit, oX)
+  paired X: lead  = unit/1 fwd if oX else unit/2 revcomp
+            trail = unit/2 fwd if oX else unit/1 revcomp
+then task1 = (leadA, leadB, pos1) always, and for paired-involved overlaps
+task2 = (trailA, trailB, pos2), argument-swapped for P-S and for P-P with
+ord='2'. This reproduces all 16 reference cases exactly (verified by the
+parity tests against the float64 oracle following each hand case).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+from ..core.reads import PackedUnits, ReadStore
+from ..utils.config import Settings
+from .score import RECHECK_MARGIN, TaskScores, score_tasks_jax, score_tasks_numpy
+
+EDGE_DTYPE = np.dtype(
+    [
+        ("v1", np.int64),
+        ("v2", np.int64),
+        ("score", np.float64),
+        ("mismatch_rate", np.float64),
+        ("pos1", np.int32),
+        ("pos2", np.int32),
+        ("pos3", np.int32),
+        ("pos4", np.int32),
+        ("ori1", np.bool_),
+        ("ori2", np.bool_),
+        ("ord", "S1"),
+        ("perc", np.int32),
+        ("len1", np.int32),
+        ("len2", np.int32),
+    ]
+)
+
+
+class VerifyResult(NamedTuple):
+    edges: np.ndarray  # EDGE_DTYPE rows accepted as edges
+    nonedge_mask: np.ndarray  # overlaps to re-write to nonedge_overlaps
+    scored: np.ndarray  # all scored candidates (EDGE_DTYPE), pre-threshold
+    n_tasks: int
+
+
+class TaskPlan(NamedTuple):
+    row_first: np.ndarray
+    row_second: np.ndarray
+    pos: np.ndarray
+    # per-overlap indices into the task arrays (-1 when absent)
+    t1_of: np.ndarray
+    t2_of: np.ndarray
+
+
+def length_prefilter(ov: np.ndarray, s: Settings) -> Tuple[np.ndarray, np.ndarray]:
+    """construct_edges length/perc filters (src/EdgeCalculator.cpp:605-635).
+
+    Returns (scored_mask, nonedge_mask): overlaps to score vs overlaps to
+    write back to nonedge_overlaps.txt unseen. Self-overlaps are dropped
+    entirely. Uses the FILE types (not the read types), as the reference
+    does at this stage.
+    """
+    self_ov = ov["id1"] == ov["id2"]
+    is_ss = (ov["type1"] == b"s") & (ov["type2"] == b"s")
+    perc_ok = _perc(ov) >= s.min_overlap_perc
+    ss_ok = is_ss & (ov["len1"] >= s.min_overlap_len) & perc_ok
+    p_any = ~is_ss
+    p_ok = (
+        p_any
+        & (ov["len1"] >= 0.5 * s.min_overlap_len)
+        & (ov["len2"] >= 0.5 * s.min_overlap_len)
+        & perc_ok
+    )
+    relax_ok = (
+        s.relax_PE_edges
+        & p_any
+        & ((ov["len1"] + ov["len2"]) >= s.min_overlap_len)
+        & perc_ok
+    )
+    scored = (ss_ok | p_ok | relax_ok) & ~self_ov
+    nonedge = ~(ss_ok | p_ok | relax_ok) & ~self_ov
+    return scored, nonedge
+
+
+def _perc(ov: np.ndarray) -> np.ndarray:
+    avg = (0.5 * (ov["perc1"].astype(np.float64) + ov["perc2"].astype(np.float64))).astype(np.int64)
+    return np.where(ov["perc2"] > 0, avg, ov["perc1"].astype(np.int64))
+
+
+def _id_lookup(store: ReadStore, ids: np.ndarray) -> np.ndarray:
+    keys = np.array(store.ids, dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    pos = np.searchsorted(sorted_keys, ids.astype(np.int64))
+    if np.any(pos >= len(sorted_keys)) or np.any(sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] != ids):
+        missing = ids[(pos >= len(sorted_keys)) | (sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] != ids)]
+        raise KeyError(f"overlap references unknown read IDs, e.g. {missing[:5]}")
+    return order[pos]
+
+
+def plan_tasks(store: ReadStore, packed: PackedUnits, ov: np.ndarray) -> Tuple[TaskPlan, dict]:
+    """Build the scoring-task arrays for a batch of overlaps."""
+    n = len(ov)
+    ia = _id_lookup(store, ov["id1"].astype(np.int64))
+    ib = _id_lookup(store, ov["id2"].astype(np.int64))
+    paired = np.array(store.is_paired, dtype=bool)
+    unit1 = np.array(store.unit1, dtype=np.int64)
+    unit2 = np.array(store.unit2, dtype=np.int64)
+    ulens = packed.lens.astype(np.int64)
+    U = packed.n_units
+
+    p_a, p_b = paired[ia], paired[ib]
+    ori_a = ov["ori1"] == b"+"
+    ori_b = ov["ori2"] == b"+"
+    pos1 = ov["pos1"].astype(np.int64)
+    pos2 = ov["pos2"].astype(np.int64)
+    ord1 = ov["ord"] == b"1"
+    ord2 = ov["ord"] == b"2"
+
+    ua1, ua2 = unit1[ia], unit2[ia]
+    ub1, ub2 = unit1[ib], unit2[ib]
+
+    def lead_trail(p, o, u1, u2):
+        # single: both = oriented unit1; paired: (u1 fwd, u2 fwd) or (u2 rev, u1 rev)
+        lead = np.where(p, np.where(o, u1, u2 + U), np.where(o, u1, u1 + U))
+        trail = np.where(p, np.where(o, u2, u1 + U), np.where(o, u1, u1 + U))
+        return lead, trail
+
+    lead_a, trail_a = lead_trail(p_a, ori_a, ua1, ua2)
+    lead_b, trail_b = lead_trail(p_b, ori_b, ub1, ub2)
+
+    has_t2 = p_a | p_b
+    swap_t2 = (p_a & ~p_b) | (p_a & p_b & ord2)
+
+    t1_first, t1_second = lead_a, lead_b
+    t2_first = np.where(swap_t2, trail_b, trail_a)
+    t2_second = np.where(swap_t2, trail_a, trail_b)
+
+    idx2 = np.flatnonzero(has_t2)
+    row_first = np.concatenate([t1_first, t2_first[idx2]])
+    row_second = np.concatenate([t1_second, t2_second[idx2]])
+    pos = np.concatenate([pos1, pos2[idx2]])
+    t1_of = np.arange(n, dtype=np.int64)
+    t2_of = np.full(n, -1, dtype=np.int64)
+    t2_of[idx2] = n + np.arange(len(idx2), dtype=np.int64)
+
+    # integer geometry for the edge record
+    la1 = ulens[ua1]
+    la2 = np.where(p_a, ulens[np.maximum(ua2, 0)], 0)
+    lb1 = ulens[ub1]
+    lb2 = np.where(p_b, ulens[np.maximum(ub2, 0)], 0)
+
+    ss = ~p_a & ~p_b
+    sp = ~p_a & p_b
+    ps = p_a & ~p_b
+    pp = p_a & p_b
+    pos3 = np.select(
+        [ss, sp, ps, pp & ord1, pp & ord2],
+        [
+            la1 - pos1 - lb1,
+            la1 - pos2 - lb2,
+            la2 + pos2 - lb1,
+            la2 - pos2 - lb2,
+            la2 + pos2 - lb2,
+        ],
+    )
+    pos4 = np.select(
+        [ss, sp, ps, pp],
+        [np.zeros(n, dtype=np.int64), la1 - pos1 - lb1, lb1 + pos1 - la1, la1 - pos1 - lb1],
+    )
+
+    meta = dict(
+        ia=ia, ib=ib, ss=ss, pos3=pos3, pos4=pos4,
+        ori_a=ori_a, ori_b=ori_b, perc=_perc(ov),
+    )
+    return TaskPlan(row_first, row_second, pos, t1_of, t2_of), meta
+
+
+def combine_scores(
+    ov: np.ndarray,
+    plan: TaskPlan,
+    meta: dict,
+    ts: TaskScores,
+    s: Settings,
+) -> np.ndarray:
+    """Per-overlap score/mismatch combine (src/EdgeCalculator.cpp:254-379)."""
+    n = len(ov)
+    s1 = ts.score[plan.t1_of]
+    m1 = ts.mismatch_rate[plan.t1_of]
+    has2 = plan.t2_of >= 0
+    s2 = np.where(has2, ts.score[np.maximum(plan.t2_of, 0)], 0.0)
+    m2 = np.where(has2, ts.mismatch_rate[np.maximum(plan.t2_of, 0)], 0.0)
+
+    both_pass = (s1 > s.edge_threshold) & (s2 > s.edge_threshold)
+    score_pe = np.where(both_pass, 0.5 * (s1 + s2), np.minimum(s1, s2))
+    score = np.where(meta["ss"], s1, score_pe)
+    mism = np.where(meta["ss"], m1, np.maximum(m1, m2))
+
+    edges = np.zeros(n, dtype=EDGE_DTYPE)
+    edges["v1"] = meta["ia"]
+    edges["v2"] = meta["ib"]
+    edges["score"] = score
+    edges["mismatch_rate"] = mism
+    edges["pos1"] = ov["pos1"]
+    edges["pos2"] = ov["pos2"]
+    edges["pos3"] = meta["pos3"]
+    edges["pos4"] = meta["pos4"]
+    edges["ori1"] = meta["ori_a"]
+    edges["ori2"] = meta["ori_b"]
+    edges["ord"] = ov["ord"]
+    edges["perc"] = meta["perc"]
+    edges["len1"] = ov["len1"]
+    # S-S edges record len2=0 even if the file carried one (set_len(len1, 0))
+    edges["len2"] = np.where(meta["ss"], 0, ov["len2"])
+    return edges
+
+
+def verify_overlaps(
+    store: ReadStore,
+    packed: PackedUnits,
+    ov: np.ndarray,
+    s: Settings,
+) -> VerifyResult:
+    """Score a batch of (pre-filtered) overlaps into edge candidates.
+
+    Device path scores in f32; any overlap whose decision could be flipped
+    by f32 rounding (within RECHECK_MARGIN of edge/ov thresholds, including
+    the per-task edge_threshold comparisons inside the paired combine rule)
+    is re-scored with the float64 oracle, making threshold decisions exact.
+    """
+    plan, meta = plan_tasks(store, packed, ov)
+    lens_by_row = np.concatenate([packed.lens, packed.lens])
+    args = (packed.codes, packed.quals, lens_by_row, plan.row_first, plan.row_second, plan.pos)
+    kw = dict(mismatch_thresh=s.mismatch, min_read_len=s.min_read_len)
+    if s.backend == "numpy":
+        ts = score_tasks_numpy(*args, **kw)
+    else:
+        ts = score_tasks_jax(*args, **kw)
+        if s.exact and len(plan.row_first):
+            ts = _recheck_near_threshold(plan, ts, args, kw, s)
+
+    edges_all = combine_scores(ov, plan, meta, ts, s)
+    score = edges_all["score"]
+    mism = edges_all["mismatch_rate"]
+    is_edge = (score > s.edge_threshold) | (mism <= s.merge_contigs)
+    nonedge = ~is_edge & (score > s.ov_threshold)
+    return VerifyResult(
+        edges=edges_all[is_edge],
+        nonedge_mask=nonedge,
+        scored=edges_all,
+        n_tasks=len(plan.row_first),
+    )
+
+
+def _recheck_near_threshold(plan: TaskPlan, ts: TaskScores, args, kw, s: Settings) -> TaskScores:
+    """Re-score near-threshold tasks with the f64 oracle."""
+    borderline_task = (
+        (np.abs(ts.score - s.edge_threshold) < RECHECK_MARGIN)
+        | (np.abs(ts.score - s.ov_threshold) < RECHECK_MARGIN)
+    )
+    # mismatch-rate and per-position-reject decisions are exact integers /
+    # exact comparisons; only the geometric-mean score needs f64.
+    if not np.any(borderline_task):
+        return ts
+    idx = np.flatnonzero(borderline_task)
+    codes, quals, lens_by_row = args[0], args[1], args[2]
+    redo = score_tasks_numpy(
+        codes, quals, lens_by_row,
+        plan.row_first[idx], plan.row_second[idx], plan.pos[idx], **kw,
+    )
+    out = TaskScores(*(a.copy() for a in ts))
+    out.score[idx] = redo.score
+    out.mismatch_rate[idx] = redo.mismatch_rate
+    out.sum_log[idx] = redo.sum_log
+    out.counted[idx] = redo.counted
+    out.mismatches[idx] = redo.mismatches
+    out.rejected[idx] = redo.rejected
+    return out

@@ -1,0 +1,188 @@
+import numpy as np
+import pytest
+
+from haploconduct_tpu.core.reads import ReadStore
+from haploconduct_tpu.io.overlaps import empty_overlaps
+from haploconduct_tpu.ops.score import score_tasks_jax, score_tasks_numpy
+from haploconduct_tpu.ops.verify import plan_tasks, verify_overlaps
+from haploconduct_tpu.utils.config import Settings
+
+from reference_model import SimpleRead, compute_overlap, overlap_score
+
+BASES = "ACGT"
+QUALS = "".join(chr(33 + q) for q in range(2, 42))
+
+
+def random_seq(rng, n, n_rate=0.02):
+    chars = [BASES[rng.integers(4)] if rng.random() > n_rate else "N" for _ in range(n)]
+    return "".join(chars)
+
+
+def random_phred(rng, n):
+    return "".join(QUALS[rng.integers(len(QUALS))] for _ in range(n))
+
+
+def build_random_store(rng, n_single=12, n_paired=8, lmin=40, lmax=90):
+    store = ReadStore()
+    reads = []
+    for i in range(n_single):
+        n = int(rng.integers(lmin, lmax))
+        seq, ph = random_seq(rng, n), random_phred(rng, n)
+        store.add_single(i, seq, ph)
+        reads.append(SimpleRead((seq,), (ph,)))
+    store.readcount_single = n_single
+    for i in range(n_paired):
+        n1 = int(rng.integers(lmin, lmax))
+        n2 = int(rng.integers(lmin, lmax))
+        s1, p1 = random_seq(rng, n1), random_phred(rng, n1)
+        s2, p2 = random_seq(rng, n2), random_phred(rng, n2)
+        store.add_paired(n_single + i, s1, p1, s2, p2)
+        reads.append(SimpleRead((s1, s2), (p1, p2)))
+    return store, reads
+
+
+def random_overlaps(rng, store, n_ov=200):
+    n = len(store)
+    ov = empty_overlaps(n_ov)
+    for k in range(n_ov):
+        i, j = rng.choice(n, size=2, replace=False)
+        pa, pb = store.is_paired[i], store.is_paired[j]
+        ov[k]["id1"], ov[k]["id2"] = store.ids[i], store.ids[j]
+        ov[k]["pos1"] = int(rng.integers(0, 60))
+        ov[k]["pos2"] = int(rng.integers(0, 60)) if (pa or pb) else 0
+        ov[k]["ord"] = [b"1", b"2"][rng.integers(2)] if (pa and pb) else b"-"
+        ov[k]["ori1"] = [b"+", b"-"][rng.integers(2)]
+        ov[k]["ori2"] = [b"+", b"-"][rng.integers(2)]
+        ov[k]["perc1"] = int(rng.integers(0, 101))
+        ov[k]["perc2"] = int(rng.integers(0, 101)) if (pa or pb) else 0
+        ov[k]["len1"] = int(rng.integers(1, 90))
+        ov[k]["len2"] = int(rng.integers(1, 90)) if (pa or pb) else 0
+        ov[k]["type1"] = b"p" if pa else b"s"
+        ov[k]["type2"] = b"p" if pb else b"s"
+    return ov
+
+
+def test_oracle_matches_scalar_model():
+    rng = np.random.default_rng(0)
+    store, reads = build_random_store(rng)
+    packed = store.pack()
+    ov = random_overlaps(rng, store, 300)
+    plan, meta = plan_tasks(store, packed, ov)
+    lens_by_row = np.concatenate([packed.lens, packed.lens])
+    ts = score_tasks_numpy(
+        packed.codes, packed.quals, lens_by_row,
+        plan.row_first, plan.row_second, plan.pos,
+    )
+    s = Settings(edge_threshold=0.97)
+    from haploconduct_tpu.ops.verify import combine_scores
+
+    edges = combine_scores(ov, plan, meta, ts, s)
+    for k in range(len(ov)):
+        i = store.id_to_index[int(ov[k]["id1"])]
+        j = store.id_to_index[int(ov[k]["id2"])]
+        score, mm, pos3, pos4 = compute_overlap(
+            reads[i], reads[j], int(ov[k]["pos1"]), int(ov[k]["pos2"]),
+            ov[k]["ord"].decode(), ov[k]["ori1"] == b"+", ov[k]["ori2"] == b"+",
+            edge_threshold=0.97,
+        )
+        assert edges["score"][k] == pytest.approx(score, abs=1e-12), k
+        assert edges["mismatch_rate"][k] == pytest.approx(mm, abs=1e-12), k
+        assert edges["pos3"][k] == pos3, k
+        assert edges["pos4"][k] == pos4, k
+
+
+def test_jax_matches_oracle():
+    rng = np.random.default_rng(1)
+    store, _ = build_random_store(rng, n_single=20, n_paired=10)
+    packed = store.pack()
+    ov = random_overlaps(rng, store, 400)
+    plan, _ = plan_tasks(store, packed, ov)
+    lens_by_row = np.concatenate([packed.lens, packed.lens])
+    args = (packed.codes, packed.quals, lens_by_row, plan.row_first, plan.row_second, plan.pos)
+    ts64 = score_tasks_numpy(*args)
+    ts32 = score_tasks_jax(*args, batch_size=128)
+    np.testing.assert_array_equal(ts64.counted, ts32.counted)
+    np.testing.assert_array_equal(ts64.mismatches, ts32.mismatches)
+    np.testing.assert_array_equal(ts64.rejected, ts32.rejected)
+    np.testing.assert_allclose(ts32.score, ts64.score, atol=2e-4)
+
+
+def test_hard_mismatch_reject():
+    store = ReadStore()
+    store.add_single(0, "AAAA", "IIII")
+    store.add_single(1, "AAAT", "IIII")
+    packed = store.pack()
+    lens = np.concatenate([packed.lens, packed.lens])
+    # q=40 both: mismatch prob ~ 6.7e-5 < 0.5 -> reject whole overlap
+    ts = score_tasks_numpy(
+        packed.codes, packed.quals, lens,
+        np.array([0]), np.array([1]), np.array([0]), mismatch_thresh=0.5,
+    )
+    assert ts.score[0] == 0.0
+    assert ts.mismatch_rate[0] == 1.0
+    assert ts.rejected[0]
+
+
+def test_degenerate_pos_and_minlen():
+    store = ReadStore()
+    store.add_single(0, "ACGTACGT", "IIIIIIII")
+    store.add_single(1, "ACGTACGT", "IIIIIIII")
+    packed = store.pack()
+    lens = np.concatenate([packed.lens, packed.lens])
+    ts = score_tasks_numpy(
+        packed.codes, packed.quals, lens,
+        np.array([0, 0]), np.array([1, 1]), np.array([8, 0]), min_read_len=9,
+    )
+    # pos >= len -> 0; min_read_len unmet -> 0
+    assert np.all(ts.score == 0.0)
+    assert np.all(ts.mismatch_rate == 1.0)
+
+
+def test_all_n_overlap_scores_zero():
+    store = ReadStore()
+    store.add_single(0, "NNNN", "IIII")
+    store.add_single(1, "ACGT", "IIII")
+    packed = store.pack()
+    lens = np.concatenate([packed.lens, packed.lens])
+    ts = score_tasks_numpy(
+        packed.codes, packed.quals, lens, np.array([0]), np.array([1]), np.array([0])
+    )
+    assert ts.score[0] == 0.0 and ts.counted[0] == 0
+
+
+def test_perfect_overlap_scalar():
+    # sanity against hand math: identical bases at q=40
+    score, mm = overlap_score("AAAA", "AAAA", "IIII", "IIII", 0)
+    q = 10 ** (-40 / 10)
+    expected = (1 - q) * (1 - q) + q * q / 3
+    assert score == pytest.approx(expected, rel=1e-12)
+    assert mm == 0.0
+
+
+def test_verify_overlaps_end_to_end():
+    rng = np.random.default_rng(3)
+    store, reads = build_random_store(rng, n_single=10, n_paired=6)
+    packed = store.pack()
+    ov = random_overlaps(rng, store, 150)
+    s = Settings(edge_threshold=0.5, ov_threshold=0.2, backend="numpy")
+    res = verify_overlaps(store, packed, ov, s)
+    assert res.n_tasks >= len(ov)
+    assert len(res.scored) == len(ov)
+    # every accepted edge must beat a threshold
+    ok = (res.edges["score"] > s.edge_threshold) | (res.edges["mismatch_rate"] <= s.merge_contigs)
+    assert np.all(ok)
+
+
+def test_verify_backends_agree():
+    rng = np.random.default_rng(4)
+    store, _ = build_random_store(rng, n_single=10, n_paired=6)
+    packed = store.pack()
+    ov = random_overlaps(rng, store, 150)
+    s64 = Settings(edge_threshold=0.5, ov_threshold=0.2, backend="numpy")
+    s32 = Settings(edge_threshold=0.5, ov_threshold=0.2, backend="jax", exact=True)
+    r64 = verify_overlaps(store, packed, ov, s64)
+    r32 = verify_overlaps(store, packed, ov, s32)
+    assert len(r64.edges) == len(r32.edges)
+    np.testing.assert_array_equal(r64.nonedge_mask, r32.nonedge_mask)
+    np.testing.assert_array_equal(r64.edges["v1"], r32.edges["v1"])
+    np.testing.assert_array_equal(r64.edges["v2"], r32.edges["v2"])
