@@ -1,0 +1,537 @@
+"""Graph heuristics: orientation labelling, transitive reduction, tip and
+cycle removal, branch removal.
+
+Rebuild of src/GraphAlgos.cpp. The restart budgets (<=100 BFS labellings,
+<=20 DFS orders) and fixed seeds are kept. The reference randomizes with
+``std::srand(seed); std::random_shuffle(...)`` (glibc rand + libstdc++
+shuffle); both are reimplemented here exactly so shuffle-dependent results
+are reproducible and match a glibc/libstdc++ build of the reference.
+"""
+
+from __future__ import annotations
+
+from typing import List, Set, Tuple
+
+import numpy as np
+
+from .overlap_graph import OverlapGraph
+
+
+# --------------------------------------------------------------------------
+# glibc rand() (TYPE_3 additive feedback) + libstdc++ std::random_shuffle
+# --------------------------------------------------------------------------
+
+class GlibcRand:
+    """Bit-exact glibc rand(): additive-feedback generator, degree 31."""
+
+    def __init__(self, seed: int):
+        self.srand(seed)
+
+    def srand(self, seed: int) -> None:
+        seed = seed & 0xFFFFFFFF
+        if seed == 0:
+            seed = 1
+        r = [0] * 344
+        r[0] = seed
+        for i in range(1, 31):
+            r[i] = (16807 * r[i - 1]) % 2147483647
+        for i in range(31, 34):
+            r[i] = r[i - 31]
+        for i in range(34, 344):
+            r[i] = (r[i - 31] + r[i - 3]) & 0xFFFFFFFF
+        self.r = r
+        self.idx = 344
+
+    def rand(self) -> int:
+        r = self.r
+        i = self.idx
+        val = (r[i - 31] + r[i - 3]) & 0xFFFFFFFF
+        r.append(val)
+        self.idx += 1
+        return val >> 1
+
+
+def random_shuffle(seq: list, rng: GlibcRand) -> None:
+    """libstdc++ std::random_shuffle: swap(a[i], a[rand() % (i+1)])."""
+    for i in range(1, len(seq)):
+        j = rng.rand() % (i + 1)
+        seq[i], seq[j] = seq[j], seq[i]
+
+
+# --------------------------------------------------------------------------
+# Vertex orientation labelling (GraphAlgos.cpp:178-349)
+# --------------------------------------------------------------------------
+
+def sort_vertices_by_indegree(g: OverlapGraph) -> np.ndarray:
+    deg = g.in_degree()
+    return np.lexsort((np.arange(g.n), deg))
+
+
+def _label_vertices(g: OverlapGraph, rand_seed: int):
+    """One BFS labelling pass. Returns (orientations, edges_to_move,
+    edges_to_delete) where moves/deletes are edge indices; the edge
+    transformation itself is applied later by the caller."""
+    rows = g.edges
+    orientations = np.ones(g.n, dtype=bool)
+    visited = np.zeros(g.n, dtype=bool)
+    order = sort_vertices_by_indegree(g)
+
+    from collections import deque
+
+    bfs = deque()
+    for start in order:
+        start = int(start)
+        if not visited[start]:
+            bfs.append(start)
+            visited[start] = True
+        while bfs:
+            node = bfs.popleft()
+            adj_vec = [int(rows["v1"][e]) for e in g.adj_in[node]]
+            adj_vec += [int(rows["v2"][e]) for e in g.adj_out[node]]
+            rng = GlibcRand(rand_seed)  # reference re-seeds per node
+            random_shuffle(adj_vec, rng)
+            for nb in adj_vec:
+                if not visited[nb]:
+                    bfs.append(nb)
+                    visited[nb] = True
+                    e = g.get_edge_idx(node, nb, reverse_allowed=True)
+                    same = bool(rows["ori1"][e] == rows["ori2"][e])
+                    orientations[nb] = orientations[node] if same else not orientations[node]
+    assert visited.all()
+
+    # classify edges against the labelling — vectorized
+    to_delete: List[int] = []
+    to_flip: List[int] = []  # flip in place
+    to_move: List[int] = []  # flip + move to the other adjacency list
+    for v in range(g.n):
+        for e in g.adj_out[v]:
+            o1, o2 = bool(rows["ori1"][e]), bool(rows["ori2"][e])
+            l1, l2 = bool(orientations[rows["v1"][e]]), bool(orientations[rows["v2"][e]])
+            if o1 == l1 and o2 == l2:
+                continue
+            if (o1 == o2) != (l1 == l2):
+                to_delete.append(e)
+            else:
+                # flipping matches the labelling; moving iff direction swaps
+                pos1, v1, v2 = int(rows["pos3"][e]), int(rows["v1"][e]), int(rows["v2"][e])
+                if pos1 < 0 or (pos1 == 0 and v1 > v2):
+                    to_move.append(e)
+                else:
+                    to_flip.append(e)
+    return orientations, to_flip, to_move, to_delete
+
+
+def _switch_edge_orientation(g: OverlapGraph, e: int) -> bool:
+    """Edge::switch_edge_orientation (src/Edge.h:90-121) applied to edge e
+    in place; returns True if the edge changed direction (must be moved)."""
+    rows = g.edges
+    r = rows[e]
+    pos1, pos2 = int(r["pos3"]), int(r["pos4"])
+    pos3, pos4 = int(r["pos1"]), int(r["pos2"])
+    ori1, ori2 = not bool(r["ori1"]), not bool(r["ori2"])
+    v1, v2 = int(r["v1"]), int(r["v2"])
+    ordc = r["ord"]
+    moved = False
+    if pos1 < 0 or (pos1 == 0 and v1 > v2):
+        v1, v2 = v2, v1
+        ori1, ori2 = ori2, ori1
+        pos1 = -pos1
+        if pos2 < 0:
+            ordc = b"1"
+            pos2 = -pos2
+        elif ordc != b"-":
+            ordc = b"2"
+        moved = True
+    else:
+        if pos2 < 0:
+            pos2 = -pos2
+            ordc = b"2"
+        elif ordc != b"-":
+            ordc = b"1"
+    rows["pos1"][e], rows["pos2"][e] = pos1, pos2
+    rows["pos3"][e], rows["pos4"][e] = pos3, pos4
+    rows["ori1"][e], rows["ori2"][e] = ori1, ori2
+    rows["v1"][e], rows["v2"][e] = v1, v2
+    rows["ord"][e] = ordc
+    return moved
+
+
+def vertex_labelling_heuristic(g: OverlapGraph) -> int:
+    """Try up to 100 BFS labellings, keep the one deleting fewest edges,
+    then flip/move/delete edges to make every edge agree with the labels.
+    Returns the number of conflicting edges removed."""
+    best = _label_vertices(g, 1)
+    count = 1
+    while count < 100 and len(best[3]) > 0:
+        count += 1
+        trial = _label_vertices(g, count)
+        if len(trial[3]) < len(best[3]):
+            best = trial
+    orientations, to_flip, to_move, to_delete = best
+
+    for e in to_flip:
+        moved = _switch_edge_orientation(g, e)
+        assert not moved
+    for e in to_move:
+        rows = g.edges
+        old_v1, old_v2 = int(rows["v1"][e]), int(rows["v2"][e])
+        moved = _switch_edge_orientation(g, e)
+        assert moved
+        # relocate the edge index between adjacency lists
+        g.adj_out[old_v1].remove(e)
+        g.adj_in[old_v2].remove(e)
+        g.adj_out[int(rows["v1"][e])].append(e)
+        g.adj_in[int(rows["v2"][e])].append(e)
+    for e in sorted(to_delete, reverse=False):
+        rows = g.edges
+        v, w = int(rows["v1"][e]), int(rows["v2"][e])
+        g.adj_out[v].remove(e)
+        g.adj_in[w].remove(e)
+        g.alive[e] = False
+    g.vertex_orientations = orientations
+    return len(to_delete)
+
+
+# --------------------------------------------------------------------------
+# Inclusion removal (GraphAlgos.cpp:20-48)
+# --------------------------------------------------------------------------
+
+def remove_inclusions(g: OverlapGraph) -> None:
+    edges_to_remove: Set[Tuple[int, int]] = set()
+    rows = g.edges
+    for v in np.flatnonzero(g.inclusions):
+        v = int(v)
+        edge_vec: List[np.void] = []
+        for e in g.adj_out[v]:
+            edges_to_remove.add((v, int(rows["v2"][e])))
+            edge_vec.append(rows[e].copy())
+        for e in g.adj_in[v]:
+            edges_to_remove.add((int(rows["v1"][e]), v))
+            edge_vec.append(rows[e].copy())
+        g.inclusion_edges.append(edge_vec)
+    for v, w in sorted(edges_to_remove):
+        g.remove_edge(v, w)
+
+
+# --------------------------------------------------------------------------
+# Transitive reduction (GraphAlgos.cpp:746-795, 938-1123)
+# --------------------------------------------------------------------------
+
+def _adj_to_csr(n: int, v1: np.ndarray, v2: np.ndarray):
+    from scipy.sparse import csr_matrix
+
+    data = np.ones(len(v1), dtype=np.int32)
+    return csr_matrix((data, (v1, v2)), shape=(n, n), dtype=np.int32)
+
+
+def find_transitive_mask(n: int, v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
+    """edge i is transitive iff some 2-path v1[i] -> w -> v2[i] exists."""
+    if len(v1) == 0:
+        return np.zeros(0, dtype=bool)
+    a = _adj_to_csr(n, v1, v2)
+    a2 = (a @ a).tocsr()
+    return np.asarray(a2[v1, v2]).ravel() > 0
+
+
+def remove_transitive_edges(g: OverlapGraph) -> None:
+    """Remove single/double/triple transitive edges per remove_trans, plus
+    the 3-clique branch pruning used with branch_reduction."""
+    s = g.s
+    if s.remove_trans == 0:
+        return
+    g.sort_adj_out_by_target()
+    g.rebuild_adj_in()
+    rows = g.edges
+    alive_idx = np.flatnonzero(g.alive)
+    v1 = rows["v1"][alive_idx].astype(np.int64)
+    v2 = rows["v2"][alive_idx].astype(np.int64)
+    trans = find_transitive_mask(g.n, v1, v2)
+    # iterate on the graph of transitive edges for double/triple
+    for _ in range(1, s.remove_trans):
+        tv1, tv2 = v1[trans], v2[trans]
+        sub = find_transitive_mask(g.n, tv1, tv2)
+        new_trans = np.zeros(len(v1), dtype=bool)
+        new_trans[np.flatnonzero(trans)[sub]] = True
+        trans = new_trans
+
+    to_delete: Set[Tuple[int, int]] = set()
+    if s.remove_trans == 1 and s.branch_reduction:
+        # prune branches around each transitive edge (3-clique evidence)
+        len0 = rows["len1"].astype(np.int64) + rows["len2"].astype(np.int64)
+        for k in np.flatnonzero(trans):
+            e = alive_idx[k]
+            n1, n2 = int(rows["v1"][e]), int(rows["v2"][e])
+            ovlen = int(len0[e])
+            for e_out in g.adj_out[n1]:
+                if int(len0[e_out]) <= ovlen:
+                    to_delete.add((n1, int(rows["v2"][e_out])))
+            for e_in in g.adj_in[n2]:
+                if int(len0[e_in]) <= ovlen:
+                    to_delete.add((int(rows["v1"][e_in]), n2))
+
+    for k in np.flatnonzero(trans):
+        e = alive_idx[k]
+        g.adj_out[int(rows["v1"][e])].remove(e)
+        g.adj_in[int(rows["v2"][e])].remove(e)
+        g.alive[e] = False
+    for v, w in sorted(to_delete):
+        if g.check_edge(v, w, reverse_allowed=False) >= 0:
+            g.remove_edge(v, w)
+
+
+# --------------------------------------------------------------------------
+# Tip removal (GraphAlgos.cpp:543-637) and Edge::ext_len (src/Edge.h:220-275)
+# --------------------------------------------------------------------------
+
+def edge_ext_len(g: OverlapGraph, e: int, forward: bool) -> int:
+    rows = g.edges
+    r = rows[e]
+    store = g.store
+    i1, i2 = int(r["v1"]), int(r["v2"])
+    p1, p2 = store.is_paired[i1], store.is_paired[i2]
+    len1, len2 = int(r["len1"]), int(r["len2"])
+    overlap_len = len1 + len2
+    pos1, pos2 = int(r["pos1"]), int(r["pos2"])
+    ordc = r["ord"]
+    if forward:
+        if (p1 and p2 and ordc == b"1") or (not p1 and not p2):
+            return max(store.read_len(i2) - overlap_len, 0)
+        if p1 and p2:  # ord == '2'
+            u1, u2 = store.units_of(i2)
+            if bool(r["ori2"]):
+                rl1, rl2 = store.unit_len(u1), store.unit_len(u2)
+            else:
+                rl1, rl2 = store.unit_len(u2), store.unit_len(u1)
+            return max(rl1 - len1, 0) + max(rl2 - pos2 - len2, 0)
+        if not p1 and p2:  # S-P
+            u1, u2 = store.units_of(i2)
+            if bool(r["ori2"]):
+                rl1, rl2 = store.unit_len(u1), store.unit_len(u2)
+            else:
+                rl1, rl2 = store.unit_len(u2), store.unit_len(u1)
+            return max(max(rl1 - len1, 0), max(rl2 - len2, 0))
+        # P-S
+        return max(store.read_len(i2) - pos2 - len2, 0)
+    else:
+        if p1 and p2 and ordc == b"1":
+            return pos1
+        return pos1 + pos2
+
+
+def remove_tips(g: OverlapGraph) -> None:
+    rows = g.edges
+    max_tip_len = g.s.max_tip_len
+    edges_to_remove: Set[Tuple[int, int]] = set()
+    tip_reads: Set[int] = set()
+    # outgoing tips
+    for i in range(g.n):
+        adj = g.adj_out[i]
+        if len(adj) <= 1:
+            continue
+        alltips = True
+        local: List[Tuple[int, int]] = []
+        local_reads: List[int] = []
+        for e in adj:
+            v1 = int(rows["v2"][e])
+            if len(g.adj_out[v1]) == 0:
+                ext = edge_ext_len(g, e, forward=True)
+                if ext == 0:  # inclusion edge: always a tip
+                    edges_to_remove.add((i, v1))
+                    tip_reads.add(v1)
+                elif ext < max_tip_len:
+                    local.append((i, v1))
+                    local_reads.append(v1)
+            else:
+                alltips = False
+        if not alltips:
+            edges_to_remove.update(local)
+            tip_reads.update(local_reads)
+    # incoming tips
+    for i in range(g.n):
+        adj = g.adj_in[i]
+        if len(adj) <= 1:
+            continue
+        alltips = True
+        local = []
+        local_reads = []
+        for e in adj:
+            v1 = int(rows["v1"][e])
+            if len(g.adj_in[v1]) == 0:
+                ext = edge_ext_len(g, e, forward=False)
+                if ext == 0:
+                    edges_to_remove.add((v1, i))
+                    tip_reads.add(v1)
+                elif ext < max_tip_len:
+                    local.append((v1, i))
+                    local_reads.append(v1)
+            else:
+                alltips = False
+        if not alltips:
+            edges_to_remove.update(local)
+            tip_reads.update(local_reads)
+    for v, w in sorted(edges_to_remove):
+        edge = g.remove_edge(v, w)
+        g.branching_edges.append(edge)
+    g.tip_vertices |= tip_reads
+
+
+# --------------------------------------------------------------------------
+# Cycle removal (GraphAlgos.cpp:352-541)
+# --------------------------------------------------------------------------
+
+def _sorted_out_neighbors(g: OverlapGraph, node: int, randomize: int) -> List[int]:
+    rows = g.edges
+    adj = g.adj_out[node]
+    if randomize == 1:  # by increasing pos1, tie by vertex
+        pairs = sorted(((int(rows["v2"][e]), int(rows["pos1"][e])) for e in adj),
+                       key=lambda t: (t[1], t[0]))
+        return [v for v, _ in pairs]
+    if randomize == 2:  # by decreasing score
+        pairs = sorted(((int(rows["v2"][e]), float(rows["score"][e])) for e in adj),
+                       key=lambda t: (-t[1], t[0]))
+        return [v for v, _ in pairs]
+    if randomize == 3:  # by decreasing overlap length
+        pairs = sorted(((int(rows["v2"][e]), int(rows["len1"][e]) + int(rows["len2"][e])) for e in adj),
+                       key=lambda t: (-t[1], t[0]))
+        return [v for v, _ in pairs]
+    if randomize == 4:  # by increasing mismatch rate
+        pairs = sorted(((int(rows["v2"][e]), float(rows["mismatch_rate"][e])) for e in adj),
+                       key=lambda t: (t[1], t[0]))
+        return [v for v, _ in pairs]
+    neighbors = [int(rows["v2"][e]) for e in adj]
+    rng = GlibcRand(randomize)
+    random_shuffle(neighbors, rng)
+    return neighbors
+
+
+def find_cycles(g: OverlapGraph, randomize: int) -> Set[Tuple[int, int]]:
+    """Iterative DFS reproducing the reference's recursive dfs_helper."""
+    visited = np.zeros(g.n, dtype=bool)
+    marked = np.zeros(g.n, dtype=bool)
+    backedges: Set[Tuple[int, int]] = set()
+    order = sort_vertices_by_indegree(g)
+    for root in order:
+        root = int(root)
+        if visited[root]:
+            continue
+        # stack of (parent, node, neighbor-iterator state)
+        stack: List[Tuple[int, int, List[int], int]] = [(g.n, root, [], -1)]
+        while stack:
+            parent, node, neighbors, ptr = stack.pop()
+            if ptr == -1:  # first visit of this frame
+                if marked[node]:
+                    backedges.add((parent, node))
+                    continue
+                if visited[node]:
+                    continue
+                marked[node] = True
+                neighbors = _sorted_out_neighbors(g, node, randomize)
+                ptr = 0
+            if ptr < len(neighbors):
+                stack.append((parent, node, neighbors, ptr + 1))
+                stack.append((node, neighbors[ptr], [], -1))
+            else:
+                marked[node] = False
+                visited[node] = True
+    return backedges
+
+
+def cycle_removal_heuristic(g: OverlapGraph, remove_edges: bool) -> Set[Tuple[int, int]]:
+    best = find_cycles(g, 1)
+    count = 1
+    while count < 20 and len(best) > 0:
+        count += 1
+        cur = find_cycles(g, count)
+        if len(cur) < len(best):
+            best = cur
+    g.backedge_count = len(best)
+    if remove_edges:
+        for u, v in sorted(best):
+            edge = g.remove_edge(u, v)
+            g.branching_edges.append(edge)
+    return best
+
+
+# --------------------------------------------------------------------------
+# Branch removal by connected components (GraphAlgos.cpp:714-744, 835-936)
+# --------------------------------------------------------------------------
+
+def remove_branches(g: OverlapGraph) -> None:
+    rows = g.edges
+    alive_idx = np.flatnonzero(g.alive)
+    v1 = rows["v1"][alive_idx].astype(np.int64)
+    v2 = rows["v2"][alive_idx].astype(np.int64)
+    trans = find_transitive_mask(g.n, v1, v2)
+    keep = ~trans
+    kv1, kv2 = v1[keep], v2[keep]
+    # drop all edges out of branching (out-degree>1) and into branching
+    # (in-degree>1) vertices of the reduced graph
+    out_deg = np.bincount(kv1, minlength=g.n)
+    in_deg = np.bincount(kv2, minlength=g.n)
+    ok = (out_deg[kv1] <= 1) & (in_deg[kv2] <= 1)
+    bv1, bv2 = kv1[ok], kv2[ok]
+    # connected components of the branch-free graph (undirected)
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    a = csr_matrix((np.ones(len(bv1)), (bv1, bv2)), shape=(g.n, g.n))
+    _, comp = connected_components(a, directed=False)
+    # remove all original edges crossing components
+    cross = comp[v1] != comp[v2]
+    for k in np.flatnonzero(cross):
+        e = alive_idx[k]
+        edge = g.edges[e].copy()
+        g.adj_out[int(rows["v1"][e])].remove(e)
+        g.adj_in[int(rows["v2"][e])].remove(e)
+        g.alive[e] = False
+        g.branching_edges.append(edge)
+
+
+def reduce_diploid_branching(g: OverlapGraph) -> None:
+    """GraphAlgos.cpp:50-110 (not called by the reference main; kept for
+    API parity)."""
+    rows = g.edges
+    min_diploid_overlap = 30
+    unique_out = {}
+    for v in range(g.n):
+        adj = g.adj_out[v]
+        if len(adj) == 1:
+            e = adj[0]
+            if (int(rows["len1"][e]) + int(rows["len2"][e])) >= min_diploid_overlap \
+                    and float(rows["mismatch_rate"][e]) < 1e-6:
+                unique_out[v] = int(rows["v2"][e])
+    unique_in = {}
+    for v in range(g.n):
+        if len(g.adj_in[v]) == 1:
+            unique_in[v] = int(rows["v1"][g.adj_in[v][0]])
+    to_delete: Set[Tuple[int, int]] = set()
+    for v, w in unique_out.items():
+        for e in g.adj_in[w]:
+            inn = int(rows["v1"][e])
+            if unique_out.get(inn) != w:
+                to_delete.add((inn, w))
+    for w, inn in unique_in.items():
+        for e in g.adj_out[inn]:
+            out = int(rows["v2"][e])
+            if unique_in.get(out) != inn:
+                to_delete.add((inn, out))
+    for v, w in sorted(to_delete):
+        g.remove_edge(v, w)
+
+
+def get_edges_for_merging(g: OverlapGraph) -> List[Tuple[int, int]]:
+    """Greedy node-disjoint edge selection (GraphAlgos.cpp:112-148)."""
+    rows = g.edges
+    used = np.zeros(g.n, dtype=bool)
+    pairs: List[Tuple[int, int]] = []
+    for node in range(g.n):
+        if used[node] or not g.adj_out[node]:
+            continue
+        for e in g.adj_out[node]:
+            nb = int(rows["v2"][e])
+            if not used[nb]:
+                pairs.append((node, nb))
+                used[node] = True
+                used[nb] = True
+                break
+    return pairs

@@ -1,0 +1,267 @@
+"""The overlap graph: vertices = reads, directed edges = suffix-prefix
+overlaps that passed verification.
+
+Rebuild of the reference's OverlapGraph (src/OverlapGraph.{h,cpp}) with a
+different layout: edges live in one structured NumPy array (EDGE_DTYPE from
+ops/verify.py) with an alive mask, and adjacency lists hold edge indices.
+List-order semantics (push-back on add, first-match erase on remove, the
+sortEdges ordering) are preserved because downstream heuristics iterate
+adjacency in order.
+
+Candidate insertion replaces the reference's sequential insert-or-replace
+loop (src/EdgeCalculator.cpp:427-539) with a vectorized winner-per-group
+selection: the reference's 7-level deterministic tie-break defines a total
+order on candidate edges, so the surviving edge of each (vertex pair,
+orientation-parity) group is simply the maximum under that order —
+independent of insertion order, which also removes the reference's
+thread-arrival nondeterminism.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.reads import ReadStore
+from ..ops.verify import EDGE_DTYPE
+from ..utils.config import Settings
+
+
+def edge_sort_winners(cand: np.ndarray) -> np.ndarray:
+    """Return indices of the winning candidate per duplicate group.
+
+    Group key: (unordered vertex pair, ori-parity). Winner = lexicographic
+    max of (score desc, total overlap len desc, mismatch_rate asc,
+    v1 asc, ori1=True first, ori2=True first, pos1 asc, pos2 asc)
+    mirroring src/EdgeCalculator.cpp:470-520.
+    """
+    if len(cand) == 0:
+        return np.zeros(0, dtype=np.int64)
+    vmin = np.minimum(cand["v1"], cand["v2"])
+    vmax = np.maximum(cand["v1"], cand["v2"])
+    parity = cand["ori1"] == cand["ori2"]
+    len0 = cand["len1"].astype(np.int64) + cand["len2"].astype(np.int64)
+    # np.lexsort: last key is primary; all keys ascending -> encode "desc"
+    # by negation. Winner should come FIRST in its group after the sort.
+    order = np.lexsort(
+        (
+            cand["pos2"],
+            cand["pos1"],
+            ~cand["ori2"],
+            ~cand["ori1"],
+            cand["v1"],
+            cand["mismatch_rate"],
+            -len0,
+            -cand["score"],
+            parity.astype(np.int8),
+            vmax,
+            vmin,
+        )
+    )
+    g_vmin, g_vmax, g_par = vmin[order], vmax[order], parity[order]
+    first_of_group = np.ones(len(order), dtype=bool)
+    first_of_group[1:] = (
+        (g_vmin[1:] != g_vmin[:-1]) | (g_vmax[1:] != g_vmax[:-1]) | (g_par[1:] != g_par[:-1])
+    )
+    return order[first_of_group]
+
+
+def canonicalize_candidates(cand: np.ndarray) -> np.ndarray:
+    """Direct pos1==0 edges from small to large vertex id (swap_reads,
+    src/EdgeCalculator.cpp:443-448 + src/Edge.h:74-88). Returns a copy."""
+    cand = cand.copy()
+    swap = (cand["pos1"] == 0) & (cand["v1"] > cand["v2"])
+    if np.any(swap):
+        sw = cand[swap]
+        v1, v2 = sw["v2"].copy(), sw["v1"].copy()
+        o1, o2 = sw["ori2"].copy(), sw["ori1"].copy()
+        sw["v1"], sw["v2"] = v1, v2
+        sw["ori1"], sw["ori2"] = o1, o2
+        ordv = sw["ord"].copy()
+        sw["ord"] = np.where(ordv == b"1", b"2", np.where(ordv == b"2", b"1", ordv))
+        sw["pos3"] = -sw["pos3"]
+        sw["pos4"] = -sw["pos4"]
+        cand[swap] = sw
+    return cand
+
+
+class OverlapGraph:
+    def __init__(self, n_vertices: int, store: ReadStore, settings: Settings):
+        self.n = int(n_vertices)
+        self.store = store
+        self.s = settings
+        self.edges = np.zeros(0, dtype=EDGE_DTYPE)
+        self.alive = np.zeros(0, dtype=bool)
+        self.adj_out: List[List[int]] = [[] for _ in range(self.n)]
+        self.adj_in: List[List[int]] = [[] for _ in range(self.n)]
+        self.inclusions = np.zeros(self.n, dtype=bool)
+        self.vertex_orientations = np.ones(self.n, dtype=bool)
+        self.branching_edges: List[np.void] = []  # removed edges FNO1 revisits
+        self.inclusion_edges: List[List[np.void]] = []  # per inclusion vertex
+        self.backedge_count = 0
+        self.dup_count = 0
+        self.inclusion_count = 0
+        self.tip_vertices: set = set()
+
+    # ------------------------------------------------------------- basics
+    @property
+    def edge_count(self) -> int:
+        return int(np.count_nonzero(self.alive))
+
+    def alive_edges(self) -> np.ndarray:
+        return self.edges[self.alive]
+
+    def out_edges(self, v: int) -> List[int]:
+        return self.adj_out[v]
+
+    def in_neighbors(self, v: int) -> List[int]:
+        return [int(self.edges["v1"][e]) for e in self.adj_in[v]]
+
+    def _append_edges(self, rows: np.ndarray) -> np.ndarray:
+        start = len(self.edges)
+        self.edges = np.concatenate([self.edges, rows]) if start else rows.copy()
+        self.alive = np.concatenate([self.alive, np.ones(len(rows), dtype=bool)])
+        idx = np.arange(start, start + len(rows))
+        for i, r in zip(idx, rows):
+            self.adj_out[int(r["v1"])].append(int(i))
+            self.adj_in[int(r["v2"])].append(int(i))
+        return idx
+
+    def add_edge(self, row: np.void) -> int:
+        return int(self._append_edges(np.array([row], dtype=EDGE_DTYPE))[0])
+
+    def remove_edge(self, v: int, w: int, parity: Optional[bool] = None) -> np.void:
+        """Remove first v->w edge (optionally matching ori-parity); returns
+        a copy of the removed edge row (removeEdge / removeEdgeWithOri)."""
+        for e in self.adj_out[v]:
+            if int(self.edges["v2"][e]) == w:
+                if parity is not None:
+                    if bool(self.edges["ori1"][e] == self.edges["ori2"][e]) != parity:
+                        continue
+                self.adj_out[v].remove(e)
+                self.adj_in[w].remove(e)
+                self.alive[e] = False
+                return self.edges[e].copy()
+        raise KeyError(f"edge to be removed not found: {v} -> {w}")
+
+    def remove_edges_bulk(self, pairs, collect_branching: bool = False) -> None:
+        """Remove a set of (v, w) edges; order-insensitive."""
+        for v, w in pairs:
+            edge = self.remove_edge(int(v), int(w))
+            if collect_branching:
+                self.branching_edges.append(edge)
+
+    def check_edge(self, v: int, w: int, reverse_allowed: bool = True) -> float:
+        """Score of edge v->w (or w->v if allowed), else -1 (checkEdge)."""
+        for e in self.adj_out[v]:
+            if int(self.edges["v2"][e]) == w:
+                return float(self.edges["score"][e])
+        if reverse_allowed:
+            for e in self.adj_out[w]:
+                if int(self.edges["v2"][e]) == v:
+                    return float(self.edges["score"][e])
+        return -1.0
+
+    def get_edge_idx(self, v: int, w: int, reverse_allowed: bool = True) -> int:
+        for e in self.adj_out[v]:
+            if int(self.edges["v2"][e]) == w:
+                return e
+        if reverse_allowed:
+            for e in self.adj_out[w]:
+                if int(self.edges["v2"][e]) == v:
+                    return e
+        raise KeyError(f"edge not found: {v} {w}")
+
+    # -------------------------------------------------- candidate insertion
+    def insert_candidates(self, cand: np.ndarray) -> None:
+        """Bulk-insert verified edge candidates with dedup + tie-break.
+
+        Replaces src/EdgeCalculator.cpp:427-539. Also performs inclusion
+        marking for ignore_inclusions mode: determined from the FIRST
+        candidate of each duplicate group in input order (the reference's
+        single-thread behavior), not from the group winner.
+        """
+        if len(cand) == 0:
+            return
+        cand = canonicalize_candidates(cand)
+        self.inclusion_count += int(np.count_nonzero(cand["perc"] == 100))
+        winners = np.sort(edge_sort_winners(cand))
+        self.dup_count += len(cand) - len(winners)
+
+        if self.s.ignore_inclusions:
+            # first candidate per group in input order decides marking
+            vmin = np.minimum(cand["v1"], cand["v2"])
+            vmax = np.maximum(cand["v1"], cand["v2"])
+            parity = (cand["ori1"] == cand["ori2"]).astype(np.int8)
+            keys = np.stack([vmin, vmax, parity.astype(np.uint64)], axis=1)
+            _, first_idx = np.unique(keys, axis=0, return_index=True)
+            f = cand[np.sort(first_idx)]
+            mark = (f["perc"] == 100) & (f["mismatch_rate"] < 1e-6) & (f["mismatch_rate"] >= 0)
+            mark_v1 = mark & (f["pos3"] < 0) & (f["pos1"] == 0)
+            mark_v2 = mark & (f["pos3"] >= 0)
+            self.inclusions[f["v1"][mark_v1]] = True
+            self.inclusions[f["v2"][mark_v2]] = True
+
+        self._append_edges(cand[winners])
+
+    # -------------------------------------------------------------- sorting
+    def nonoverlap_len(self, rows: np.ndarray) -> np.ndarray:
+        """len(read1) + len(read2) - 2*overlap_len (Edge::get_nonoverlap_len)."""
+        read_lens = np.array([self.store.read_len(i) for i in range(len(self.store))], dtype=np.int64)
+        l1 = read_lens[rows["v1"]]
+        l2 = read_lens[rows["v2"]]
+        return l1 + l2 - 2 * (rows["len1"].astype(np.int64) + rows["len2"].astype(np.int64))
+
+    def sort_edges(self) -> None:
+        """Sort each adjacency list by (non-overlap length, v2) and rebuild
+        adj_in in v1-major order (src/OverlapGraph.cpp:723-765)."""
+        rows = self.edges
+        read_lens = np.array([self.store.read_len(i) for i in range(len(self.store))], dtype=np.int64)
+        nol_all = (
+            read_lens[rows["v1"]] + read_lens[rows["v2"]]
+            - 2 * (rows["len1"].astype(np.int64) + rows["len2"].astype(np.int64))
+        ) if len(rows) else np.zeros(0, dtype=np.int64)
+        for v in range(self.n):
+            lst = self.adj_out[v]
+            if len(lst) > 1:
+                lst.sort(key=lambda e: (nol_all[e], rows["v2"][e]))
+        new_adj_in: List[List[int]] = [[] for _ in range(self.n)]
+        for v in range(self.n):
+            for e in self.adj_out[v]:
+                new_adj_in[int(rows["v2"][e])].append(e)
+        self.adj_in = new_adj_in
+
+    def sort_adj_out_by_target(self) -> None:
+        """Sort adj_out lists by out-neighbor id (sortAdjOut)."""
+        rows = self.edges
+        for v in range(self.n):
+            self.adj_out[v].sort(key=lambda e: int(rows["v2"][e]))
+
+    def rebuild_adj_in(self) -> None:
+        new_adj_in: List[List[int]] = [[] for _ in range(self.n)]
+        rows = self.edges
+        for v in range(self.n):
+            for e in self.adj_out[v]:
+                new_adj_in[int(rows["v2"][e])].append(e)
+        self.adj_in = new_adj_in
+
+    # ------------------------------------------------------------- queries
+    def out_degree(self) -> np.ndarray:
+        return np.array([len(l) for l in self.adj_out], dtype=np.int64)
+
+    def in_degree(self) -> np.ndarray:
+        return np.array([len(l) for l in self.adj_in], dtype=np.int64)
+
+    def edge_endpoints(self) -> Tuple[np.ndarray, np.ndarray]:
+        e = self.alive_edges()
+        return e["v1"].astype(np.int64), e["v2"].astype(np.int64)
+
+    def check_no_duplicate_edges(self) -> None:
+        """Assert no two alive edges share (v1, v2) (checkDuplicateEdges)."""
+        v1, v2 = self.edge_endpoints()
+        if len(v1) == 0:
+            return
+        pairs = np.stack([v1, v2], axis=1)
+        uniq = np.unique(pairs, axis=0)
+        assert len(uniq) == len(pairs), "duplicate edges in overlap graph"
