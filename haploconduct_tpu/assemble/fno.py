@@ -1,0 +1,520 @@
+"""FindNextOverlaps: induce next-iteration overlaps.
+
+FNO1 (src/FindNextOverlaps.cpp): map every current edge (plus removed
+branching/tip edges, plus optionally nonedge overlaps, plus edges through
+removed inclusion vertices) onto the superreads containing its endpoints.
+
+FNO3 (src/FindNextOverlaps3.cpp): for every pair of superreads sharing an
+ORIGINAL read, deduce the overlap purely from OriginalIndex offsets (used
+in error-correction iterations where edges are too many).
+
+Output overlaps use NEW read IDs; FNO1 output is the sorted set of overlap
+lines (the reference writes an ordered std::set of strings), FNO3 output is
+in candidate order.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from ..core.reads import ReadStore
+from ..graph.overlap_graph import OverlapGraph
+from ..io.overlaps import OVERLAP_DTYPE, empty_overlaps
+from ..utils.config import Settings
+from .superreads import Superread, SuperreadBuilder
+
+
+def _find_clique_index(sr: Superread, node: int, leftside: bool, second_occ: bool) -> int:
+    si = sr.subread_map[node]
+    if leftside and not second_occ:
+        return si.index1 - si.startpos1
+    return si.index2 - si.startpos2
+
+
+def _compute_overlap_data(sr1, sr2, idx1l, idx1r, idx2l, idx2r,
+                          edge_pos1, edge_pos2, edge_ord):
+    """Port of SRBuilder::computeOverlapData (FindNextOverlaps.cpp:351-565).
+
+    sr1/sr2 expose is_paired and seq lengths via (paired, l1, l2) tuples:
+    for singles l1 is the sequence length and l2 is 0.
+    Returns None on failure, else a dict of the overlap fields.
+    """
+    p1, a1, a2 = sr1
+    p2, b1, b2 = sr2
+    pos1, pos2 = edge_pos1, edge_pos2
+    if not p1 and not p2:  # S-S
+        new_pos1 = (pos1 + idx1l) - idx2l
+        if new_pos1 < 0:
+            ord1, new_pos1, ln = "2", -new_pos1, b1
+        else:
+            ord1, ln = "1", a1
+        ov_len1 = min(ln - new_pos1, a1, b1)
+        ov_len2 = 0
+        perc = int(math.floor(max(ov_len1 / float(a1), ov_len1 / float(b1)) * 100))
+        if new_pos1 >= ln:
+            return None
+        return dict(pos1=new_pos1, pos2=0, ord1=ord1, ord2="-", type1="s", type2="s",
+                    perc=perc, len1=ov_len1, len2=ov_len2)
+    if p1 and not p2:  # P-S
+        len_a, len_b = a1 + a2, b1
+        new_pos1 = (pos1 + idx1l) - idx2l
+        if new_pos1 < 0:
+            ord1, new_pos1 = "2", -new_pos1
+            if new_pos1 >= b1:
+                return None
+            ov_len1 = a1
+        else:
+            ord1 = "1"
+            if new_pos1 >= a1:
+                return None
+            ov_len1 = a1 - new_pos1
+        if edge_ord == b"1":
+            new_pos2 = idx2r - (idx1r + pos2)
+        else:
+            new_pos2 = (pos2 + idx2r) - idx1r
+        if new_pos2 >= b1 or new_pos2 < 0:
+            return None
+        ov_len2 = min(b1 - new_pos2, a2)
+        total = ov_len1 + ov_len2
+        perc = min(int(math.floor(max(total / float(len_a), total / float(len_b)) * 100)), 100)
+        return dict(pos1=new_pos1, pos2=new_pos2, ord1=ord1, ord2="-", type1="p", type2="s",
+                    perc=perc, len1=ov_len1, len2=ov_len2)
+    if not p1 and p2:  # S-P
+        len_a, len_b = a1, b1 + b2
+        new_pos1 = pos1 + idx1l - idx2l
+        if new_pos1 < 0:
+            ord1, new_pos1 = "2", -new_pos1
+            if new_pos1 >= b1:
+                return None
+            ov_len1 = b1 - new_pos1
+        else:
+            ord1 = "1"
+            if new_pos1 >= a1:
+                return None
+            ov_len1 = b1
+        if edge_ord == b"2":
+            new_pos2 = idx1r - (pos2 + idx2r)
+        else:
+            new_pos2 = idx1r + pos2 - idx2r
+        if new_pos2 >= a1 or new_pos2 < 0:
+            return None
+        ov_len2 = min(a1 - new_pos2, b2)
+        total = ov_len1 + ov_len2
+        perc = min(int(math.floor(max(total / float(len_a), total / float(len_b)) * 100)), 100)
+        return dict(pos1=new_pos1, pos2=new_pos2, ord1=ord1, ord2="-", type1="s", type2="p",
+                    perc=perc, len1=ov_len1, len2=ov_len2)
+    # P-P
+    new_pos1 = (pos1 + idx1l) - idx2l
+    if new_pos1 < 0:
+        ord1, new_pos1 = "2", -new_pos1
+        if new_pos1 >= b1:
+            return None
+        ov_len1 = min(a1, b1 - new_pos1)
+    else:
+        ord1 = "1"
+        if new_pos1 >= a1:
+            return None
+        ov_len1 = min(a1 - new_pos1, b1)
+    if edge_ord == b"1":
+        new_pos2 = (pos2 + idx1r) - idx2r
+    else:
+        new_pos2 = idx1r - (pos2 + idx2r)
+    if new_pos2 < 0:
+        ord2 = "2" if ord1 == "1" else "1"
+        new_pos2 = -new_pos2
+        if new_pos2 >= b2:
+            return None
+        ov_len2 = min(a2, b2 - new_pos2)
+    else:
+        ord2 = "1" if ord1 == "1" else "2"
+        if new_pos2 >= a2:
+            return None
+        ov_len2 = min(a2 - new_pos2, b2)
+    total = ov_len1 + ov_len2
+    total_a, total_b = a1 + a2, b1 + b2
+    perc = min(int(math.floor(max(total / float(total_a), total / float(total_b)) * 100)), 100)
+    return dict(pos1=new_pos1, pos2=new_pos2, ord1=ord1, ord2=ord2, type1="p", type2="p",
+                perc=perc, len1=ov_len1, len2=ov_len2)
+
+
+def _sr_shape(sr: Superread) -> Tuple[bool, int, int]:
+    return (sr.is_paired, len(sr.seq1), len(sr.seq2))
+
+
+def _read_shape(store: ReadStore, idx: int) -> Tuple[bool, int, int]:
+    u1, u2 = store.units_of(idx)
+    if store.is_paired[idx]:
+        return (True, store.unit_len(u1), store.unit_len(u2))
+    return (False, store.unit_len(u1), 0)
+
+
+class FNO1:
+    """Edge-driven overlap induction (findNextOverlaps, FNO=1)."""
+
+    def __init__(self, builder: SuperreadBuilder):
+        self.b = builder
+        self.g = builder.g
+        self.store = builder.store
+        self.s = builder.s
+        self.lines: Set[str] = set()
+        self.found: Dict[int, Set[int]] = {}
+        # node -> superreads containing it
+        self.nodes_to_sr: Dict[int, List[Superread]] = {}
+        for sr in builder.single_SR:
+            for node in sr.sorted_clique1:
+                self.nodes_to_sr.setdefault(node, []).append(sr)
+        for sr in builder.paired_SR:
+            for node in sr.sorted_clique1:
+                self.nodes_to_sr.setdefault(node, []).append(sr)
+
+    def _mark_found(self, id1: int, id2: int) -> bool:
+        lo, hi = min(id1, id2), max(id1, id2)
+        seen = self.found.setdefault(lo, set())
+        if hi in seen:
+            return False
+        seen.add(hi)
+        return True
+
+    def _emit(self, id_first, id_second, d, ori1, ori2) -> None:
+        line = (f"{id_first}\t{id_second}\t{d['pos1']}\t{d['pos2']}\t{d['ord2']}\t"
+                f"{ori1}\t{ori2}\t{d['perc']}\t0\t{d['len1']}\t{d['len2']}\t"
+                f"{d['t1']}\t{d['t2']}")
+        if not (self.s.no_inclusions and d["perc"] == 100):
+            self.lines.add(line)
+
+    def _update_overlap(self, erow: np.void, pseudo: bool = False) -> None:
+        """Port of updateOverlap (FindNextOverlaps.cpp:25-327)."""
+        g, store, s, b = self.g, self.store, self.s, self.b
+        u, v = int(erow["v1"]), int(erow["v2"])
+        score = float(erow["score"])
+        if s.resolve_orientations and score == 0:
+            ori1 = "+" if bool(erow["ori1"]) == bool(g.vertex_orientations[u]) else "-"
+            ori2 = "+" if bool(erow["ori2"]) == bool(g.vertex_orientations[v]) else "-"
+        else:
+            ori1 = ori2 = "+"
+        pos1, pos2 = int(erow["pos1"]), int(erow["pos2"])
+        edge_ord = erow["ord"]
+        r1_paired = store.is_paired[u]
+        r2_paired = store.is_paired[v]
+
+        if not b.visited[u] and not b.visited[v]:
+            id1 = b.nodes_to_new_ids[u]
+            id2 = b.nodes_to_new_ids[v]
+            perc = int(erow["perc"])
+            line = (f"{id1}\t{id2}\t{pos1}\t{pos2}\t{edge_ord.decode()}\t{ori1}\t{ori2}\t"
+                    f"{perc}\t0\t{int(erow['len1'])}\t{int(erow['len2'])}\t"
+                    f"{'p' if r1_paired else 's'}\t{'p' if r2_paired else 's'}")
+            if not (s.no_inclusions and perc == 100):
+                self.lines.add(line)
+        elif not b.visited[u]:
+            id1 = b.nodes_to_new_ids[u]
+            for sr in self.nodes_to_sr.get(v, []):
+                id2 = sr.read_id
+                if not self._mark_found(id1, id2):
+                    continue
+                if sr.is_paired:
+                    idx2l = _find_clique_index(sr, v, True, False)
+                    idx2r = _find_clique_index(sr, v, False, False)
+                elif r2_paired:
+                    idx2l = _find_clique_index(sr, v, True, False)
+                    idx2r = _find_clique_index(sr, v, True, True)
+                else:
+                    idx2l = idx2r = _find_clique_index(sr, v, True, False)
+                d = _compute_overlap_data(_read_shape(store, u), _sr_shape(sr),
+                                          0, 0, idx2l, idx2r, pos1, pos2, edge_ord)
+                if d is None:
+                    continue
+                if d["ord1"] == "1":
+                    d["t1"], d["t2"] = d["type1"], d["type2"]
+                    self._emit(id1, id2, d, ori1, ori2)
+                else:
+                    d["t1"], d["t2"] = d["type2"], d["type1"]
+                    self._emit(id2, id1, d, ori1, ori2)
+        elif not b.visited[v]:
+            id1 = b.nodes_to_new_ids[v]
+            for sr in self.nodes_to_sr.get(u, []):
+                id2 = sr.read_id
+                if not self._mark_found(id1, id2):
+                    continue
+                if sr.is_paired:
+                    idx1l = _find_clique_index(sr, u, True, False)
+                    idx1r = _find_clique_index(sr, u, False, False)
+                elif r1_paired:
+                    idx1l = _find_clique_index(sr, u, True, False)
+                    idx1r = _find_clique_index(sr, u, True, True)
+                else:
+                    idx1l = idx1r = _find_clique_index(sr, u, True, False)
+                d = _compute_overlap_data(_sr_shape(sr), _read_shape(store, v),
+                                          idx1l, idx1r, 0, 0, pos1, pos2, edge_ord)
+                if d is None:
+                    continue
+                if d["ord1"] == "1":
+                    d["t1"], d["t2"] = d["type1"], d["type2"]
+                    self._emit(id2, id1, d, ori1, ori2)
+                else:
+                    d["t1"], d["t2"] = d["type2"], d["type1"]
+                    self._emit(id1, id2, d, ori1, ori2)
+        else:
+            for sr1 in self.nodes_to_sr.get(u, []):
+                id1 = sr1.read_id
+                if sr1.is_paired:
+                    idx1l = _find_clique_index(sr1, u, True, False)
+                    idx1r = _find_clique_index(sr1, u, False, False)
+                elif r1_paired:
+                    idx1l = _find_clique_index(sr1, u, True, False)
+                    idx1r = _find_clique_index(sr1, u, True, True)
+                else:
+                    idx1l = idx1r = _find_clique_index(sr1, u, True, False)
+                for sr2 in self.nodes_to_sr.get(v, []):
+                    id2 = sr2.read_id
+                    if id1 == id2:
+                        continue
+                    if not self._mark_found(id1, id2):
+                        continue
+                    if sr2.is_paired:
+                        idx2l = _find_clique_index(sr2, v, True, False)
+                        idx2r = _find_clique_index(sr2, v, False, False)
+                    elif r2_paired:
+                        idx2l = _find_clique_index(sr2, v, True, False)
+                        idx2r = _find_clique_index(sr2, v, True, True)
+                    else:
+                        idx2l = idx2r = _find_clique_index(sr2, v, True, False)
+                    d = _compute_overlap_data(_sr_shape(sr1), _sr_shape(sr2),
+                                              idx1l, idx1r, idx2l, idx2r,
+                                              pos1, pos2, edge_ord)
+                    if d is None:
+                        continue
+                    if d["ord1"] == "1":
+                        d["t1"], d["t2"] = d["type1"], d["type2"]
+                        self._emit(id1, id2, d, ori1, ori2)
+                    else:
+                        d["t1"], d["t2"] = d["type2"], d["type1"]
+                        self._emit(id2, id1, d, ori1, ori2)
+
+    def run(self, nonedge_overlaps: Optional[np.ndarray] = None) -> List[str]:
+        g = self.g
+        rows = g.edges
+        # current edges (adjacency order)
+        for vtx in range(g.n):
+            for e in g.adj_out[vtx]:
+                self._update_overlap(rows[e])
+        # removed branching/tip/cycle edges
+        for erow in g.branching_edges:
+            self._update_overlap(erow)
+        # nonedge overlaps (only when optimize=false)
+        if not self.s.optimize and nonedge_overlaps is not None:
+            self._reconsider_nonedges(nonedge_overlaps)
+        self._inclusion_overlaps()
+        return sorted(self.lines)
+
+    def _reconsider_nonedges(self, overlaps: np.ndarray) -> None:
+        """Rebuild pseudo-edges (score 0) from stored nonedge overlaps
+        (FindNextOverlaps.cpp:635-813, resolve_orientations path)."""
+        store, g = self.store, self.g
+        for r in overlaps:
+            i1 = store.id_to_index[int(r["id1"])]
+            i2 = store.id_to_index[int(r["id2"])]
+            if g.check_edge(i1, i2, reverse_allowed=True) > 0:
+                continue
+            erow = np.zeros(1, dtype=rows_dtype())[0]
+            erow["v1"], erow["v2"] = i1, i2
+            erow["score"] = 0.0
+            erow["pos1"], erow["pos2"] = r["pos1"], r["pos2"]
+            erow["ori1"] = r["ori1"] == b"+"
+            erow["ori2"] = r["ori2"] == b"+"
+            erow["ord"] = r["ord"]
+            perc2 = int(r["perc2"])
+            perc1 = int(r["perc1"])
+            erow["perc"] = int(0.5 * (perc1 + perc2)) if perc2 > 0 else perc1
+            erow["len1"], erow["len2"] = r["len1"], r["len2"]
+            self._update_overlap(erow, pseudo=True)
+
+    def _inclusion_overlaps(self) -> None:
+        """Induce S-S edges through removed inclusion vertices
+        (findInclusionOverlaps, FindNextOverlaps.cpp:816-887)."""
+        g, store, s = self.g, self.store, self.s
+        for edge_list in g.inclusion_edges:
+            ln = len(edge_list)
+            for i in range(ln):
+                for j in range(i + 1, ln):
+                    e1, e2 = edge_list[i], edge_list[j]
+                    if int(e1["v1"]) == int(e2["v1"]):
+                        continue
+                    if int(e1["v1"]) == int(e2["v2"]):
+                        n1, n2 = int(e2["v1"]), int(e1["v2"])
+                        pos1 = int(e2["pos1"])
+                        ori1, ori2 = bool(e2["ori1"]), bool(e1["ori2"])
+                    elif int(e1["v2"]) == int(e2["v1"]):
+                        n1, n2 = int(e1["v1"]), int(e2["v2"])
+                        pos1 = int(e1["pos1"])
+                        ori1, ori2 = bool(e1["ori1"]), bool(e2["ori2"])
+                    else:
+                        continue
+                    if store.is_paired[n1] or store.is_paired[n2]:
+                        continue
+                    l1 = store.read_len(n1)
+                    l2 = store.read_len(n2)
+                    length = min(l1 - pos1, l2)
+                    perc = (100 * length) // min(l1, l2)
+                    if g.check_edge(n1, n2, reverse_allowed=True) != -1:
+                        continue
+                    erow = np.zeros(1, dtype=rows_dtype())[0]
+                    erow["v1"], erow["v2"] = n1, n2
+                    erow["score"] = s.edge_threshold
+                    erow["pos1"], erow["pos2"] = pos1, 0
+                    erow["ori1"], erow["ori2"] = ori1, ori2
+                    erow["ord"] = b"-"
+                    erow["perc"] = perc
+                    erow["len1"], erow["len2"] = length, 0
+                    self._update_overlap(erow)
+
+
+def rows_dtype():
+    from ..ops.verify import EDGE_DTYPE
+
+    return EDGE_DTYPE
+
+
+def find_next_overlaps3(builder: SuperreadBuilder) -> List[str]:
+    """FNO3: overlaps between superreads sharing an original read."""
+    s = builder.s
+    # original read -> superreads, in single/paired/trivial insertion order
+    orig_to_sr: Dict[int, List[Superread]] = {}
+    for group in (builder.single_SR, builder.paired_SR, builder.trivial_SR):
+        for sr in group:
+            for orig_id in sr.originals:
+                orig_to_sr.setdefault(orig_id, []).append(sr)
+    found: Dict[int, Set[int]] = {}
+    lines: List[str] = []
+    for orig_id, sr_list in orig_to_sr.items():
+        n = len(sr_list)
+        for i in range(n):
+            sr1 = sr_list[i]
+            for j in range(i + 1, n):
+                sr2 = sr_list[j]
+                lo, hi = min(sr1.read_id, sr2.read_id), max(sr1.read_id, sr2.read_id)
+                seen = found.setdefault(lo, set())
+                if hi in seen:
+                    continue
+                seen.add(hi)
+                line = _deduce_overlap(sr1, sr2, orig_id, s)
+                if line is not None:
+                    lines.append(line)
+    return lines
+
+
+def _deduce_overlap(sr1: Superread, sr2: Superread, orig_id: int, s: Settings) -> Optional[str]:
+    """Port of deduceOverlap (FindNextOverlaps3.cpp:176-406). Returns the
+    overlap line or None when the overlap is degenerate/ignored."""
+    o1 = sr1.originals[orig_id]
+    o2 = sr2.originals[orig_id]
+    if not sr1.is_paired and not sr2.is_paired:  # S-S
+        idx1, idx2 = o1.index1, o2.index1
+        la, lb = len(sr1.seq1), len(sr2.seq1)
+        if idx1 - idx2 >= 0:
+            id1, id2 = sr1.read_id, sr2.read_id
+            pos1 = idx1 - idx2
+            if pos1 > la:
+                return None
+            len1 = min(la - pos1, lb)
+        else:
+            id1, id2 = sr2.read_id, sr1.read_id
+            pos1 = idx2 - idx1
+            if pos1 > lb:
+                return None
+            len1 = min(la, lb - pos1)
+        if len1 <= 0:
+            return None
+        perc1 = int(math.floor(max(len1 / float(la), len1 / float(lb)) * 100))
+        if s.no_inclusions and perc1 == 100:
+            return None
+        return f"{id1}\t{id2}\t{pos1}\t0\t-\t+\t+\t{perc1}\t0\t{len1}\t0\ts\ts"
+    if sr1.is_paired and not sr2.is_paired:  # P-S
+        idx1l, idx1r = o1.index1, o1.index2
+        idx2l, idx2r = o2.index1, o2.index2
+        la1, la2 = len(sr1.seq1), len(sr1.seq2)
+        lb = len(sr2.seq1)
+        if idx1l - idx2l >= 0:
+            id1, id2 = sr1.read_id, sr2.read_id
+            pos1 = idx1l - idx2l
+            len1 = la1 - pos1
+            t1, t2 = "p", "s"
+        else:
+            id1, id2 = sr2.read_id, sr1.read_id
+            pos1 = idx2l - idx1l
+            len1 = min(la1, lb - pos1)
+            t1, t2 = "s", "p"
+        if len1 <= 0:
+            return None
+        perc1 = int(math.floor(len1 / float(la1) * 100))
+        pos2 = idx2r - idx1r
+        len2 = min(la2, lb - pos2)
+        if len2 <= 0 or pos2 < 0:
+            return None
+        perc2 = int(math.floor(len2 / float(la2) * 100))
+        full_perc = int(0.5 * (perc1 + perc2)) if perc2 > 0 else perc1
+        if s.no_inclusions and full_perc == 100:
+            return None
+        return f"{id1}\t{id2}\t{pos1}\t{pos2}\t-\t+\t+\t{perc1}\t{perc2}\t{len1}\t{len2}\t{t1}\t{t2}"
+    if not sr1.is_paired and sr2.is_paired:  # S-P
+        idx1l, idx1r = o1.index1, o1.index2
+        idx2l, idx2r = o2.index1, o2.index2
+        la = len(sr1.seq1)
+        lb1, lb2 = len(sr2.seq1), len(sr2.seq2)
+        if idx1l - idx2l >= 0:
+            id1, id2 = sr1.read_id, sr2.read_id
+            pos1 = idx1l - idx2l
+            len1 = min(lb1, la - pos1)
+            t1, t2 = "s", "p"
+        else:
+            id1, id2 = sr2.read_id, sr1.read_id
+            pos1 = idx2l - idx1l
+            len1 = lb1 - pos1
+            t1, t2 = "p", "s"
+        if len1 <= 0:
+            return None
+        perc1 = int(math.floor(len1 / float(lb1) * 100))
+        pos2 = idx1r - idx2r
+        len2 = min(lb2, la - pos2)
+        if len2 <= 0 or pos2 < 0:
+            return None
+        perc2 = int(math.floor(len2 / float(lb2) * 100))
+        full_perc = int(0.5 * (perc1 + perc2)) if perc2 > 0 else perc1
+        if s.no_inclusions and full_perc == 100:
+            return None
+        return f"{id1}\t{id2}\t{pos1}\t{pos2}\t-\t+\t+\t{perc1}\t{perc2}\t{len1}\t{len2}\t{t1}\t{t2}"
+    # P-P
+    idx1l, idx1r = o1.index1, o1.index2
+    idx2l, idx2r = o2.index1, o2.index2
+    la, lb = len(sr1.seq1), len(sr2.seq1)
+    lc, ld = len(sr1.seq2), len(sr2.seq2)
+    if idx1l - idx2l >= 0:
+        id1, id2 = sr1.read_id, sr2.read_id
+        pos1 = idx1l - idx2l
+        len1 = min(la - pos1, lb)
+        front_ord = True
+    else:
+        id1, id2 = sr2.read_id, sr1.read_id
+        pos1 = idx2l - idx1l
+        len1 = min(la, lb - pos1)
+        front_ord = False
+    if idx1r - idx2r >= 0:
+        pos2 = idx1r - idx2r
+        len2 = min(lc - pos2, ld)
+        back_ord = True
+    else:
+        pos2 = idx2r - idx1r
+        len2 = min(lc, ld - pos2)
+        back_ord = False
+    if len1 <= 0 or len2 <= 0:
+        return None
+    perc1 = int(math.floor(max(len1 / float(la), len1 / float(lb)) * 100))
+    perc2 = int(math.floor(max(len2 / float(lc), len2 / float(ld)) * 100))
+    ordc = "1" if front_ord == back_ord else "2"
+    full_perc = int(0.5 * (perc1 + perc2)) if perc2 > 0 else perc1
+    if s.no_inclusions and full_perc == 100:
+        return None
+    return f"{id1}\t{id2}\t{pos1}\t{pos2}\t{ordc}\t+\t+\t{perc1}\t{perc2}\t{len1}\t{len2}\tp\tp"

@@ -1,0 +1,191 @@
+"""Per-stage convergence driver — in-memory rebuild of
+scripts/pipeline_per_stage.py.
+
+Stage a: one error-correction clique iteration (FNO3, double-transitive
+reduction) followed by alternating merge iterations (edge merging, FNO1)
+and clique iterations until the read count is constant for two consecutive
+iterations; stages b/c skip error correction and start with a merge
+iteration. Loop conditions and flag sets mirror pipeline_per_stage.py
+run_error_correction/run_merging_it/run_clique_it/run_first_it_merge
+(pipeline_per_stage.py:138-198, 214-478).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.reads import ReadStore
+from ..io.subreads import SubreadDict
+from ..utils.config import Settings
+from .iteration import IterationResult, overlaps_from_lines, run_iteration
+
+
+@dataclass
+class StageResult:
+    store: ReadStore  # final reads (contigs)
+    subreads: SubreadDict
+    overlap_lines: List[str]
+    iterations: int
+    history: List[dict] = field(default_factory=list)
+
+
+@dataclass
+class StageParams:
+    stage: str  # 'a', 'b' or 'c'
+    min_overlap_len: int = 150
+    min_overlap_len_EC: Optional[int] = None
+    min_overlap_perc: int = 0
+    edge_threshold: float = 0.995
+    merge_contigs: float = 0.0  # error rate for mismatch-based merging
+    error_correction: bool = True  # stage a only
+    first_it: bool = True  # False when resuming from subreads
+    remove_branches: bool = False  # pipeline-level flag gating clique its
+    min_read_len: int = 0
+    diploid: bool = False
+    max_tip_len: int = 150
+    clique_size_EC: int = 4
+    original_readcount: int = 0
+    backend: str = "jax"
+    verbose: bool = False
+
+
+def _base_settings(p: StageParams, **overrides) -> Settings:
+    s = Settings(
+        min_overlap_perc=p.min_overlap_perc,
+        min_overlap_len=p.min_overlap_len,
+        edge_threshold=p.edge_threshold,
+        min_read_len=p.min_read_len,
+        max_tip_len=p.max_tip_len,
+        diploid=p.diploid,
+        original_readcount=p.original_readcount,
+        backend=p.backend,
+        verbose=p.verbose,
+        optimize=False,
+    )
+    return s.derive(**overrides)
+
+
+def run_stage(
+    p: StageParams,
+    store: ReadStore,
+    overlaps: np.ndarray,
+    subreads: Optional[SubreadDict] = None,
+) -> StageResult:
+    mol_ec = p.min_overlap_len_EC if p.min_overlap_len_EC else p.min_overlap_len
+    keep_singletons = max(p.min_overlap_len, p.min_read_len)
+    history: List[dict] = []
+    iteration = 0
+
+    cur_store, cur_sub, cur_lines = store, subreads, None
+    cur_overlaps = overlaps
+    read_counts: List[int] = []
+    overlap_counts = [len(overlaps)]
+    edge_counts: List[int] = [1]
+
+    if p.stage == "a":
+        read_counts.append(p.original_readcount or len(store))
+
+    def step(settings: Settings) -> bool:
+        """Run one iteration; returns False when the pipeline terminated."""
+        nonlocal cur_store, cur_sub, cur_lines, cur_overlaps, iteration
+        iteration += 1
+        res = run_iteration(cur_store, cur_overlaps, settings, cur_sub)
+        history.append(dict(iteration=iteration, mode=_mode_name(settings), **res.stats))
+        if res.terminated:
+            edge_counts.append(-2)
+            return False
+        cur_store, cur_sub, cur_lines = res.store, res.subreads, res.overlap_lines
+        cur_overlaps = overlaps_from_lines(res.overlap_lines)
+        read_counts.append(len(cur_store))
+        overlap_counts.append(len(res.overlap_lines))
+        edge_counts.append(res.stats.get("n_edges_final", 0))
+        return True
+
+    def _mode_name(s: Settings) -> str:
+        if s.error_correction:
+            return "error_correction"
+        return "cliques" if s.cliques else "merging"
+
+    # ---- first iteration
+    if p.stage == "a" and p.error_correction:
+        ec = _base_settings(
+            p,
+            first_it=p.first_it,
+            cliques=True,
+            error_correction=True,
+            keep_singletons=1000,
+            min_clique_size=p.clique_size_EC,
+            remove_branches=False,
+            min_overlap_len=mol_ec,
+            merge_contigs=p.merge_contigs,
+            fno=3,
+            remove_trans=2,
+            store_tips_separately=False,
+            ignore_inclusions=False,
+        )
+        alive = step(ec)
+    else:
+        # run_first_it_noEC / run_first_it_merge: edge merging from scratch
+        first = _base_settings(
+            p,
+            first_it=p.first_it,
+            cliques=False,
+            min_clique_size=2,
+            keep_singletons=0 if (p.stage == "a") else keep_singletons,
+            remove_branches=True,
+            merge_contigs=p.merge_contigs,
+            fno=1,
+            remove_trans=1,
+            store_tips_separately=(p.stage != "a"),
+            ignore_inclusions=(p.stage != "a"),
+        )
+        alive = step(first)
+
+    merge_s = _base_settings(
+        p,
+        first_it=False,
+        cliques=False,
+        min_clique_size=2,
+        keep_singletons=keep_singletons,
+        remove_branches=True,
+        merge_contigs=p.merge_contigs if p.stage == "c" else 0.0,
+        fno=1,
+        remove_trans=1,
+        store_tips_separately=True,
+        ignore_inclusions=True,
+    )
+    clique_s = merge_s.derive(
+        cliques=True, remove_branches=False, fno=3, remove_trans=1,
+    )
+
+    const_read_its = 0
+    while alive and overlap_counts[-1] > 0 and edge_counts[-1] > 0 and const_read_its < 2:
+        while alive and overlap_counts[-1] > 0 and edge_counts[-1] > 0 and const_read_its < 2:
+            alive = step(merge_s)
+            if not alive:
+                break
+            if read_counts[-1] == read_counts[-2]:
+                const_read_its += 1
+            else:
+                const_read_its = 0
+        # a clique iteration always follows merge convergence (even when
+        # const_read_its reached 2 — it can reset the counter); it is a
+        # no-op when there are no overlaps/edges left
+        if alive and not p.remove_branches and overlap_counts[-1] > 0 and edge_counts[-1] > 0:
+            alive = step(clique_s)
+            if alive:
+                if read_counts[-1] == read_counts[-2]:
+                    const_read_its += 1
+                else:
+                    const_read_its = 0
+
+    return StageResult(
+        store=cur_store,
+        subreads=cur_sub if cur_sub is not None else {},
+        overlap_lines=cur_lines or [],
+        iterations=iteration,
+        history=history,
+    )

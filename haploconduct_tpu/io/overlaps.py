@@ -66,46 +66,50 @@ def make_overlaps(**cols) -> np.ndarray:
 def read_overlaps(path: str, max_overlaps: int | None = None, allow_spaces: bool = False) -> np.ndarray:
     """Parse an overlaps.txt file into a structured array.
 
-    Lines with a wrong field count are skipped with a warning, matching the
-    reference's tolerant parser (src/EdgeCalculator.cpp:598-603).
+    Lines with a wrong field count are skipped, matching the reference's
+    tolerant parser (src/EdgeCalculator.cpp:598-603).
     """
-    rows: List[tuple] = []
     with open(path, "r") as f:
-        for i, line in enumerate(f):
-            if max_overlaps is not None and i >= max_overlaps:
-                break
-            line = line.strip("\t \n")
-            if not line:
-                continue
-            parts = line.split() if allow_spaces else line.split("\t")
-            if len(parts) != 13:
-                continue
-            pos2_dash = parts[3].strip() == "-"
+        return parse_overlap_lines(f, max_overlaps=max_overlaps, allow_spaces=allow_spaces)
 
-            def atoi(text: str) -> int:
-                # C atoi semantics: non-numeric (e.g. "-") parses as 0
-                try:
-                    return int(text)
-                except ValueError:
-                    return 0
 
-            rows.append(
-                (
-                    int(parts[0]),
-                    int(parts[1]),
-                    int(parts[2]),
-                    0 if pos2_dash else atoi(parts[3]),
-                    parts[4].strip().encode(),
-                    parts[5].strip().encode(),
-                    parts[6].strip().encode(),
-                    atoi(parts[7]),
-                    0 if pos2_dash else atoi(parts[8]),
-                    atoi(parts[9]),
-                    0 if pos2_dash else atoi(parts[10]),
-                    parts[11].strip().encode(),
-                    parts[12].strip().encode(),
-                )
+def _atoi(text: str) -> int:
+    """C atoi semantics: non-numeric (e.g. "-") parses as 0."""
+    try:
+        return int(text)
+    except ValueError:
+        return 0
+
+
+def parse_overlap_lines(lines, max_overlaps: int | None = None, allow_spaces: bool = False) -> np.ndarray:
+    rows: List[tuple] = []
+    for i, line in enumerate(lines):
+        if max_overlaps is not None and i >= max_overlaps:
+            break
+        line = line.strip("\t \n")
+        if not line:
+            continue
+        parts = line.split() if allow_spaces else line.split("\t")
+        if len(parts) != 13:
+            continue
+        pos2_dash = parts[3].strip() == "-"
+        rows.append(
+            (
+                int(parts[0]),
+                int(parts[1]),
+                int(parts[2]),
+                0 if pos2_dash else _atoi(parts[3]),
+                parts[4].strip().encode(),
+                parts[5].strip().encode(),
+                parts[6].strip().encode(),
+                _atoi(parts[7]),
+                0 if pos2_dash else _atoi(parts[8]),
+                _atoi(parts[9]),
+                0 if pos2_dash else _atoi(parts[10]),
+                parts[11].strip().encode(),
+                parts[12].strip().encode(),
             )
+        )
     # NOTE: the reference zeroes pos2/perc2/len2 when the pos2 field is "-",
     # but *not* perc1/len1 (src/Overlap.h:55-59). Keep the same.
     out = np.array(rows, dtype=OVERLAP_DTYPE) if rows else empty_overlaps(0)

@@ -1,0 +1,191 @@
+"""Overlap candidate generation: k-mer seeded suffix-prefix matching.
+
+Replaces the reference's external rust-overlaps dependency (FM-index
+approximate matching, invoked at savage.py:664 / polyte.py:514): sequences
+are 2-bit packed, every k-mer is hashed to (hash, seq, pos) tuples, and a
+sort-join over hashes yields candidate (pair, shift) diagonals. Gapless
+overlaps only — the verification kernel (ops/score.py) scores gapless
+alignments, exactly like the reference's EdgeCalculator, so indel-shifted
+candidates would be rejected there anyway.
+
+Output is the SFO 8-column candidate format (io/sfo.py) with the same
+concatenated s+p1+p2 index convention, so io/sfo.sfo_to_overlaps provides
+the same PE-merging path as the reference's sfo2overlaps script.
+
+The join is pure NumPy on host; a jax/sort-based device version is the
+planned scale-up path for deep-coverage datasets (the host version guards
+against repetitive k-mer blowup with `max_group`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.reads import N_CODE, revcomp_codes
+from ..io.sfo import SFO_DTYPE
+
+
+def _kmer_hashes(codes: np.ndarray, k: int) -> np.ndarray:
+    """2-bit packed k-mer codes for all positions; positions containing an
+    N get hash -1 (excluded)."""
+    n = len(codes)
+    if n < k:
+        return np.zeros(0, dtype=np.int64)
+    c = codes.astype(np.int64)
+    valid = codes < N_CODE
+    # rolling pack via cumulative trick: hash[i] = sum c[i+j] * 4^(k-1-j)
+    powers = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(c, k)
+    hashes = windows @ powers
+    ok = np.all(np.lib.stride_tricks.sliding_window_view(valid, k), axis=1)
+    return np.where(ok, hashes, -1)
+
+
+def find_overlap_candidates(
+    seqs: List[np.ndarray],
+    min_overlap_len: int,
+    k: int = 20,
+    seed_step: int = 1,
+    with_reversals: bool = True,
+    with_inclusions: bool = True,
+    max_group: int = 2000,
+    error_rate: float = 0.0,
+) -> np.ndarray:
+    """All candidate suffix-prefix overlaps among `seqs` (code arrays).
+
+    Returns an SFO-format array: idA < idB, ori 'N' (same strand) or 'I'
+    (B reversed), overhangs/overlap lengths derived from the seed diagonal.
+    `error_rate` only sets the K column (allowed mismatches) for parity
+    with rust-overlaps output; matching itself is exact on seeds.
+    """
+    lens = np.array([len(sq) for sq in seqs], dtype=np.int64)
+    n = len(seqs)
+
+    # build the k-mer table over forward sequences
+    all_hashes = []
+    all_sid = []
+    all_pos = []
+    for i, sq in enumerate(seqs):
+        h = _kmer_hashes(sq, k)
+        if seed_step > 1:
+            h = h[::seed_step].copy()
+            pos = np.arange(0, len(h) * seed_step, seed_step, dtype=np.int64)
+        else:
+            pos = np.arange(len(h), dtype=np.int64)
+        keep = h >= 0
+        all_hashes.append(h[keep])
+        all_sid.append(np.full(int(keep.sum()), i, dtype=np.int64))
+        all_pos.append(pos[keep])
+    if not all_hashes:
+        return np.zeros(0, dtype=SFO_DTYPE)
+    fwd_h = np.concatenate(all_hashes)
+    fwd_sid = np.concatenate(all_sid)
+    fwd_pos = np.concatenate(all_pos)
+    order = np.argsort(fwd_h, kind="stable")
+    fwd_h, fwd_sid, fwd_pos = fwd_h[order], fwd_sid[order], fwd_pos[order]
+
+    pairs = []  # (ida, idb, shift, rev)
+
+    def join(query_h, query_sid, query_pos, rev: bool):
+        """Match query k-mers against the forward table."""
+        left = np.searchsorted(fwd_h, query_h, side="left")
+        right = np.searchsorted(fwd_h, query_h, side="right")
+        counts = right - left
+        big = counts > max_group
+        counts = np.where(big, 0, counts)
+        total = int(counts.sum())
+        if total == 0:
+            return
+        q_idx = np.repeat(np.arange(len(query_h)), counts)
+        csum = np.cumsum(counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(csum - counts, counts)
+        t_idx = np.repeat(left, counts) + offs
+        qa, qp = query_sid[q_idx], query_pos[q_idx]
+        tb, tp = fwd_sid[t_idx], fwd_pos[t_idx]
+        keep = qa != tb
+        qa, qp, tb, tp = qa[keep], qp[keep], tb[keep], tp[keep]
+        # shift = start of B's forward seq relative to A's (query) seq
+        shift = qp - tp
+        arr = np.stack([qa, tb, shift, np.full(len(qa), int(rev), dtype=np.int64)], axis=1)
+        pairs.append(arr)
+
+    join(fwd_h, fwd_sid, fwd_pos, rev=False)
+    if with_reversals:
+        rc_hashes, rc_sid, rc_pos = [], [], []
+        for i, sq in enumerate(seqs):
+            rc = revcomp_codes(sq)
+            h = _kmer_hashes(rc, k)
+            pos = np.arange(len(h), dtype=np.int64)
+            keep = h >= 0
+            rc_hashes.append(h[keep])
+            rc_sid.append(np.full(int(keep.sum()), i, dtype=np.int64))
+            rc_pos.append(pos[keep])
+        join(np.concatenate(rc_hashes), np.concatenate(rc_sid),
+             np.concatenate(rc_pos), rev=True)
+
+    if not pairs:
+        return np.zeros(0, dtype=SFO_DTYPE)
+    cand = np.concatenate(pairs, axis=0)
+    cand = np.unique(cand, axis=0)
+
+    qa, tb, shift, rev = cand[:, 0], cand[:, 1], cand[:, 2], cand[:, 3].astype(bool)
+    la = lens[qa]  # length of the (possibly reversed) query = len of A
+    lb = lens[tb]
+
+    # overlap on the query frame: A covers [0, la), B covers [shift, shift+lb)
+    start = np.maximum(0, shift)
+    end = np.minimum(la, shift + lb)
+    ov = end - start
+    ok = ov >= min_overlap_len
+    if not with_inclusions:
+        contained = ((shift <= 0) & (shift + lb >= la)) | ((shift >= 0) & (shift + lb <= la))
+        ok &= ~contained
+    qa, tb, shift, rev, la, lb, ov = (x[ok] for x in (qa, tb, shift, rev, la, lb, ov))
+
+    # canonicalize to idA < idB in the A-frame; for rev hits the query was
+    # revcomp(A), so map the diagonal back to A's forward frame:
+    # revcomp(A)[p] pairs with A[la-1-p] => B (forward) aligned to
+    # revcomp(A) at `shift` corresponds to revcomp(B) aligned to forward A
+    # at shift' = la - (shift + lb)
+    shift = np.where(rev, la - (shift + lb), shift)
+
+    swap = qa > tb
+    ida = np.where(swap, tb, qa)
+    idb = np.where(swap, qa, tb)
+    # when swapping on a same-strand hit, the diagonal negates; on a
+    # reversed hit the roles are symmetric under reversal: B aligned at
+    # `shift` in A's frame <=> A aligned at the mirrored shift in B's frame
+    sh_swapped_n = -shift
+    sh_swapped_i = lb - (la - shift) + (la - la)  # = shift + lb - la
+    shift = np.where(swap, np.where(rev, shift + lb - la, sh_swapped_n), shift)
+    la2 = np.where(swap, lb, la)
+    lb2 = np.where(swap, la, lb)
+    la, lb = la2, lb2
+
+    # dedup again after canonicalization
+    key = np.stack([ida, idb, shift, rev.astype(np.int64)], axis=1)
+    key, uniq_idx = np.unique(key, axis=0, return_index=True)
+    ida, idb, shift, rev = key[:, 0], key[:, 1], key[:, 2], key[:, 3].astype(bool)
+    la, lb = lens[ida], lens[idb]
+
+    # SFO fields: OHA = A bases before overlap (signed: negative if B
+    # starts first), OHB = B bases after A's end (signed)
+    oha = shift
+    ohb = (shift + lb) - la
+    start = np.maximum(0, shift)
+    end = np.minimum(la, shift + lb)
+    ov = end - start
+    k_col = np.ceil(error_rate * ov).astype(np.int64)
+
+    out = np.zeros(len(ida), dtype=SFO_DTYPE)
+    out["ida"] = ida
+    out["idb"] = idb
+    out["ori"] = np.where(rev, b"I", b"N")
+    out["oha"] = oha
+    out["ohb"] = ohb
+    out["ola"] = ov
+    out["olb"] = ov
+    out["k"] = k_col
+    return out
