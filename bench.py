@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Headline benchmark: overlap verifications per second per chip.
+
+Workload: the bundled savage/example reads (2,200 Illumina reads) packed
+into padded unit matrices; a large batch of candidate verification tasks
+(row pairs + diagonal offsets) scored by the device kernel
+(haploconduct_tpu/ops/score.py), i.e. the rebuild of the reference's hot
+loop EdgeCalculator::overlap_score (src/EdgeCalculator.cpp:26-139).
+
+Baseline: the same tasks through a faithful C++ OpenMP implementation of
+the reference's scoring math (haploconduct_tpu/native/baseline_score.cpp)
+on all host cores — deliberately leaner than the real reference binary
+(no string/vector overhead), so vs_baseline is conservative.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_workload(n_tasks: int, seed: int = 0):
+    from haploconduct_tpu.core.reads import ReadStore
+
+    ex = "/root/reference/savage/example/input_fas"
+    store = ReadStore.from_files(
+        singles=f"{ex}/singles.fastq", paired1=f"{ex}/paired1.fastq",
+        paired2=f"{ex}/paired2.fastq")
+    packed = store.pack(width=512)
+    lens = np.concatenate([packed.lens, packed.lens]).astype(np.int32)
+    rng = np.random.default_rng(seed)
+    n_rows = packed.codes.shape[0]
+    row_a = rng.integers(0, n_rows, n_tasks).astype(np.int32)
+    row_b = rng.integers(0, n_rows, n_tasks).astype(np.int32)
+    # realistic suffix-prefix diagonals: overlap lengths ~100..read length
+    la = lens[row_a]
+    ov = rng.integers(100, 400, n_tasks)
+    pos = np.maximum(la - ov, 0).astype(np.int32)
+    return packed, lens, row_a, row_b, pos
+
+
+def bench_device(packed, lens, row_a, row_b, pos, repeats: int = 20):
+    """Time the Pallas verification kernel with an on-device repeat loop.
+
+    The dev-environment TPU sits behind a ~20 MB/s tunnel, so host<->device
+    transfer must be excluded to measure chip throughput; production hosts
+    have PCIe-attached chips where transfers are negligible. The repeat
+    loop varies the task stream each round (rotated task array) so the
+    compiler cannot elide executions; a scalar checksum is fetched.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from haploconduct_tpu.ops import pallas_score as P
+
+    codes2, quals2 = P.pack_for_pallas(packed.codes, packed.quals)
+    w = codes2.shape[1] // 2
+    b = len(row_a)
+    L = np.minimum(lens[row_a].astype(np.int64) - pos, lens[row_b]).astype(np.int64)
+    rows_packed = ((row_a.astype(np.int64) << 16) | row_b).astype(np.int32)
+    posl_packed = ((pos.astype(np.int64) << 16)
+                   | np.maximum(np.minimum(L, 0xFFFF), 0)).astype(np.int32)
+    kernel = P._build_kernel(w, 0.0)
+
+    @jax.jit
+    def repeat_run(cd, qd, rp, pp):
+        def body(i, acc):
+            out = kernel(cd, qd, jnp.roll(rp, i), jnp.roll(pp, i))
+            return acc + jnp.sum(out[0])
+
+        return jax.lax.fori_loop(0, repeats, body, jnp.float32(0))
+
+    cd, qd = jnp.asarray(codes2), jnp.asarray(quals2)
+    rp, pp = jnp.asarray(rows_packed), jnp.asarray(posl_packed)
+    float(repeat_run(cd, qd, rp, pp))  # compile + warmup
+    t0 = time.perf_counter()
+    float(repeat_run(cd, qd, rp, pp))
+    dt = time.perf_counter() - t0
+    return b * repeats / dt
+
+
+def bench_cpu(packed, lens, row_a, row_b, pos):
+    from haploconduct_tpu.native import load_baseline_ext
+
+    ext = load_baseline_ext()
+    if ext is None:
+        return None
+    os.environ.setdefault("OMP_NUM_THREADS", str(os.cpu_count()))
+    n = min(len(row_a), 200_000)
+    # warmup
+    ext.score_tasks(packed.codes, packed.quals, lens, row_a[:1000], row_b[:1000], pos[:1000])
+    t0 = time.perf_counter()
+    ext.score_tasks(packed.codes, packed.quals, lens, row_a[:n], row_b[:n], pos[:n])
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    n_tasks = int(os.environ.get("BENCH_TASKS", 65536))  # one kernel chunk
+    packed, lens, row_a, row_b, pos = build_workload(n_tasks)
+
+    cpu_rate = bench_cpu(packed, lens, row_a, row_b, pos)
+    device_rate = bench_device(packed, lens, row_a, row_b, pos)
+
+    vs = device_rate / cpu_rate if cpu_rate else 0.0
+    print(json.dumps({
+        "metric": "overlap verifications/s/chip",
+        "value": round(device_rate),
+        "unit": "verifications/s",
+        "vs_baseline": round(vs, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,8 +1,16 @@
-"""Root conftest: tests run on a virtual 8-device CPU mesh, never on TPU."""
+"""Root conftest: tests run on a virtual 8-device CPU mesh, never on TPU.
+
+Note: this host's sitecustomize force-registers the 'axon' TPU backend and
+overrides jax_platforms programmatically, so the JAX_PLATFORMS env var is
+not enough — the config must be updated after importing jax.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -46,6 +46,47 @@ class _CliquesExt:
         return flat, offsets
 
 
+class _BaselineExt:
+    def __init__(self, module):
+        self._m = module
+
+    def score_tasks(self, codes, quals, lens, row_a, row_b, pos, mismatch_thresh=0.0):
+        n = len(row_a)
+        score_b, mism_b = self._m.score_tasks(
+            np.ascontiguousarray(codes, dtype=np.int8),
+            np.ascontiguousarray(quals, dtype=np.uint8),
+            np.ascontiguousarray(lens, dtype=np.int32),
+            int(codes.shape[1]),
+            np.ascontiguousarray(row_a, dtype=np.int32),
+            np.ascontiguousarray(row_b, dtype=np.int32),
+            np.ascontiguousarray(pos, dtype=np.int32),
+            n, float(mismatch_thresh))
+        return (np.frombuffer(score_b, dtype=np.float64),
+                np.frombuffer(mism_b, dtype=np.float64))
+
+
+_baseline_ext: Optional[_BaselineExt] = None
+_baseline_failed = False
+
+
+def load_baseline_ext() -> Optional[_BaselineExt]:
+    global _baseline_ext, _baseline_failed
+    if _baseline_ext is not None or _baseline_failed:
+        return _baseline_ext
+    try:
+        import importlib.util
+
+        so_path = _build_ext("baseline_score", ["baseline_score.cpp"])
+        spec = importlib.util.spec_from_file_location("_baseline_score", so_path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        _baseline_ext = _BaselineExt(module)
+    except Exception:
+        _baseline_failed = True
+        _baseline_ext = None
+    return _baseline_ext
+
+
 _cliques_ext: Optional[_CliquesExt] = None
 _cliques_failed = False
 
