@@ -57,6 +57,8 @@ def run_iteration(
     overlaps: np.ndarray,
     s: Settings,
     originals_dict: Optional[SubreadDict] = None,
+    original_store: Optional[ReadStore] = None,
+    threshold_table: Optional[dict] = None,
 ) -> IterationResult:
     if originals_dict is None:
         assert s.first_it, "originals dict required unless first iteration"
@@ -99,7 +101,7 @@ def run_iteration(
     if s.branch_reduction:
         from .branch_reduction import read_based_branch_reduction
 
-        read_based_branch_reduction(graph, originals_dict)
+        read_based_branch_reduction(graph, originals_dict, original_store, threshold_table)
     elif s.remove_branches:
         algos.remove_branches(graph)
 

@@ -125,25 +125,33 @@ class ReadStore:
         """Load fastq files; ``id_map`` optionally renames fastq IDs to
         overlap-file integer IDs (reference --IDs flag)."""
         store = cls()
-
-        def to_id(raw: str) -> int:
-            if id_map is not None:
-                return int(id_map[raw])
-            return int(raw)
-
-        if singles:
-            ids, seqs, phreds = read_fastq(singles)
-            for rid, seq, phred in zip(ids, seqs, phreds):
-                store.add_single(to_id(rid), seq, phred)
-        store.readcount_single = len(store.ids)
+        single_recs = read_fastq(singles) if singles else ([], [], [])
         if paired1 or paired2:
             assert paired1 and paired2, "both paired fastq files required"
             ids1, seqs1, phreds1 = read_fastq(paired1)
             ids2, seqs2, phreds2 = read_fastq(paired2)
             if ids1 != ids2:
                 raise ValueError("fastq files /1 /2 are not ordered identically")
-            for rid, s1, p1, s2, p2 in zip(ids1, seqs1, phreds1, seqs2, phreds2):
-                store.add_paired(to_id(rid), s1, p1, s2, p2)
+        else:
+            ids1, seqs1, phreds1, seqs2, phreds2 = [], [], [], [], []
+
+        all_raw = list(single_recs[0]) + list(ids1)
+        if id_map is not None:
+            ids = [int(id_map[r]) for r in all_raw]
+        else:
+            try:
+                ids = [int(r) for r in all_raw]
+            except ValueError:
+                # non-integer fastq IDs: rename positionally, as the
+                # reference's preprocessing (scripts/rename_fas.py) does
+                ids = list(range(len(all_raw)))
+
+        n_single = len(single_recs[0])
+        for rid, seq, phred in zip(ids[:n_single], single_recs[1], single_recs[2]):
+            store.add_single(rid, seq, phred)
+        store.readcount_single = len(store.ids)
+        for rid, s1, p1, s2, p2 in zip(ids[n_single:], seqs1, phreds1, seqs2, phreds2):
+            store.add_paired(rid, s1, p1, s2, p2)
         return store
 
     # ------------------------------------------------------------ accessors

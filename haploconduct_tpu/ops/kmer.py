@@ -27,6 +27,11 @@ from ..core.reads import N_CODE, revcomp_codes
 from ..io.sfo import SFO_DTYPE
 
 
+def _pack_keys(ida, idb, shift, rev):
+    return ((((ida.astype(np.int64) << 19) | idb) << 25)
+            | ((shift + (1 << 24)) << 1) | rev)
+
+
 def _kmer_hashes(codes: np.ndarray, k: int) -> np.ndarray:
     """2-bit packed k-mer codes for all positions; positions containing an
     N get hash -1 (excluded)."""
@@ -52,13 +57,18 @@ def find_overlap_candidates(
     with_inclusions: bool = True,
     max_group: int = 2000,
     error_rate: float = 0.0,
+    verify: bool = False,
 ) -> np.ndarray:
     """All candidate suffix-prefix overlaps among `seqs` (code arrays).
 
     Returns an SFO-format array: idA < idB, ori 'N' (same strand) or 'I'
     (B reversed), overhangs/overlap lengths derived from the seed diagonal.
-    `error_rate` only sets the K column (allowed mismatches) for parity
-    with rust-overlaps output; matching itself is exact on seeds.
+    `error_rate` sets the K column (allowed mismatches); with
+    ``verify=True`` candidates are additionally scored on their diagonal
+    and only kept when their gapless mismatch rate is within `error_rate`
+    — matching rust-overlaps' semantics of only emitting verified
+    approximate overlaps (its FM-index search is edit-distance based, so
+    indel-shifted overlaps it would find are still absent here).
     """
     lens = np.array([len(sq) for sq in seqs], dtype=np.int64)
     n = len(seqs)
@@ -128,7 +138,11 @@ def find_overlap_candidates(
     if not pairs:
         return np.zeros(0, dtype=SFO_DTYPE)
     cand = np.concatenate(pairs, axis=0)
-    cand = np.unique(cand, axis=0)
+    # dedup via packed int64 keys (much faster than np.unique(axis=0));
+    # layout: 19b idA | 19b idB | 25b shift(+2^24) | 1b rev
+    assert n < (1 << 19), "too many sequences for packed dedup keys"
+    key = _pack_keys(cand[:, 0], cand[:, 1], cand[:, 2], cand[:, 3])
+    cand = cand[np.unique(key, return_index=True)[1]]
 
     qa, tb, shift, rev = cand[:, 0], cand[:, 1], cand[:, 2], cand[:, 3].astype(bool)
     la = lens[qa]  # length of the (possibly reversed) query = len of A
@@ -165,9 +179,9 @@ def find_overlap_candidates(
     la, lb = la2, lb2
 
     # dedup again after canonicalization
-    key = np.stack([ida, idb, shift, rev.astype(np.int64)], axis=1)
-    key, uniq_idx = np.unique(key, axis=0, return_index=True)
-    ida, idb, shift, rev = key[:, 0], key[:, 1], key[:, 2], key[:, 3].astype(bool)
+    key = _pack_keys(ida, idb, shift, rev.astype(np.int64))
+    order = np.unique(key, return_index=True)[1]
+    ida, idb, shift, rev = ida[order], idb[order], shift[order], rev[order]
     la, lb = lens[ida], lens[idb]
 
     # SFO fields: OHA = A bases before overlap (signed: negative if B
@@ -188,4 +202,33 @@ def find_overlap_candidates(
     out["ola"] = ov
     out["olb"] = ov
     out["k"] = k_col
+    if verify and len(out):
+        out = _verify_candidates(seqs, lens, out, error_rate)
     return out
+
+
+def _verify_candidates(seqs, lens, sfo: np.ndarray, error_rate: float) -> np.ndarray:
+    """Score each candidate diagonal (sequence-only) and keep candidates
+    whose mismatch count is <= ceil(error_rate * overlap_len)."""
+    from ..core.reads import PAD_CODE
+    from .score import score_tasks_numpy
+
+    n = len(seqs)
+    w = int(lens.max(initial=1))
+    codes = np.full((2 * n, w), PAD_CODE, dtype=np.int8)
+    quals = np.full((2 * n, w), 40, dtype=np.uint8)
+    for i, sq in enumerate(seqs):
+        codes[i, :len(sq)] = sq
+        codes[n + i, :len(sq)] = revcomp_codes(sq)
+    lens2 = np.concatenate([lens, lens]).astype(np.int64)
+
+    shift = sfo["oha"].astype(np.int64)
+    rev = sfo["ori"] == b"I"
+    row_b = np.where(rev, sfo["idb"] + n, sfo["idb"])
+    row_first = np.where(shift >= 0, sfo["ida"], row_b)
+    row_second = np.where(shift >= 0, row_b, sfo["ida"])
+    pos = np.abs(shift)
+    ts = score_tasks_numpy(codes, quals, lens2, row_first, row_second, pos)
+    allowed = np.ceil(error_rate * np.maximum(ts.counted, 1)).astype(np.int64)
+    keep = (ts.counted > 0) & (ts.mismatches <= allowed)
+    return sfo[keep]
