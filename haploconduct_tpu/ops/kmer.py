@@ -32,6 +32,29 @@ def _pack_keys(ida, idb, shift, rev):
             | ((shift + (1 << 24)) << 1) | rev)
 
 
+def _kmer_table(seqs, lens, k: int, seed_step: int):
+    """(hash, seq_id, pos) over all sequences, computed in one vectorized
+    pass over an N-separated concatenation (cross-boundary k-mers are
+    killed by the separator N's)."""
+    n = len(seqs)
+    sep = np.full(k, N_CODE, dtype=np.int8)
+    parts = []
+    for sq in seqs:
+        parts.append(sq)
+        parts.append(sep)
+    buf = np.concatenate(parts)
+    h = _kmer_hashes(buf, k)
+    starts = np.concatenate([[0], np.cumsum(lens + k)])[:-1]
+    # ownership: position p belongs to seq i iff starts[i] <= p < starts[i]+len-k+1
+    idx = np.flatnonzero(h >= 0)
+    sid = np.searchsorted(starts, idx, side="right") - 1
+    pos = idx - starts[sid]
+    if seed_step > 1:
+        keep = pos % seed_step == 0
+        idx, sid, pos = idx[keep], sid[keep], pos[keep]
+    return h[idx], sid.astype(np.int64), pos.astype(np.int64)
+
+
 def _kmer_hashes(codes: np.ndarray, k: int) -> np.ndarray:
     """2-bit packed k-mer codes for all positions; positions containing an
     N get hash -1 (excluded)."""
@@ -72,27 +95,10 @@ def find_overlap_candidates(
     """
     lens = np.array([len(sq) for sq in seqs], dtype=np.int64)
     n = len(seqs)
-
-    # build the k-mer table over forward sequences
-    all_hashes = []
-    all_sid = []
-    all_pos = []
-    for i, sq in enumerate(seqs):
-        h = _kmer_hashes(sq, k)
-        if seed_step > 1:
-            h = h[::seed_step].copy()
-            pos = np.arange(0, len(h) * seed_step, seed_step, dtype=np.int64)
-        else:
-            pos = np.arange(len(h), dtype=np.int64)
-        keep = h >= 0
-        all_hashes.append(h[keep])
-        all_sid.append(np.full(int(keep.sum()), i, dtype=np.int64))
-        all_pos.append(pos[keep])
-    if not all_hashes:
+    if n == 0:
         return np.zeros(0, dtype=SFO_DTYPE)
-    fwd_h = np.concatenate(all_hashes)
-    fwd_sid = np.concatenate(all_sid)
-    fwd_pos = np.concatenate(all_pos)
+
+    fwd_h, fwd_sid, fwd_pos = _kmer_table(seqs, lens, k, seed_step)
     order = np.argsort(fwd_h, kind="stable")
     fwd_h, fwd_sid, fwd_pos = fwd_h[order], fwd_sid[order], fwd_pos[order]
 
@@ -123,17 +129,9 @@ def find_overlap_candidates(
 
     join(fwd_h, fwd_sid, fwd_pos, rev=False)
     if with_reversals:
-        rc_hashes, rc_sid, rc_pos = [], [], []
-        for i, sq in enumerate(seqs):
-            rc = revcomp_codes(sq)
-            h = _kmer_hashes(rc, k)
-            pos = np.arange(len(h), dtype=np.int64)
-            keep = h >= 0
-            rc_hashes.append(h[keep])
-            rc_sid.append(np.full(int(keep.sum()), i, dtype=np.int64))
-            rc_pos.append(pos[keep])
-        join(np.concatenate(rc_hashes), np.concatenate(rc_sid),
-             np.concatenate(rc_pos), rev=True)
+        rc_seqs = [revcomp_codes(sq) for sq in seqs]
+        rc_h, rc_sid, rc_pos = _kmer_table(rc_seqs, lens, k, 1)
+        join(rc_h, rc_sid, rc_pos, rev=True)
 
     if not pairs:
         return np.zeros(0, dtype=SFO_DTYPE)

@@ -34,6 +34,7 @@ from .freq_est import FreqResult, estimate_frequencies
 class SavageConfig:
     min_overlap_len: Optional[int] = None  # default 0.6 * avg read len
     split_num: int = 1
+    reference: Optional[str] = None  # fasta path -> reference-guided mode
     revcomp: bool = False
     merge_contigs: float = 0.0
     min_clique_size: int = 4
@@ -143,6 +144,22 @@ def denovo_candidates(store: ReadStore, min_overlap_len: int, sfo_mm: int, k: in
     return sfo_to_overlaps(sfo, num_singles=ns, num_pairs=npair)
 
 
+def ref_guided_candidates(store: ReadStore, ref_index, min_overlap_len: int):
+    """Reference-guided overlap induction: align reads with the built-in
+    seed aligner (or externally supplied SAM), induce overlaps through
+    reference coordinates (savage.py preprocessing_ref:679-699; halved
+    min length when paired reads are present)."""
+    from ..io.sam import sam_to_overlaps
+    from ..io.overlaps import parse_overlap_lines
+    from ..ops.align import align_store
+
+    has_paired = len(store) > store.readcount_single
+    mol = int(round(min_overlap_len / 2)) if has_paired else min_overlap_len
+    singles, paired = align_store(store, ref_index)
+    lines = sam_to_overlaps(ref_index.lengths(), singles, paired, mol)
+    return parse_overlap_lines(lines)
+
+
 def contig_candidates(store: ReadStore, min_overlap_len: int, sfo_mm: float, k: int = 20):
     """Contig-overlap candidates for stages b/c (savage.py run_sfo)."""
     seqs = [store.unit_codes(store.unit1[i]) for i in range(len(store))]
@@ -220,8 +237,16 @@ def run_savage(
     patches = split_into_patches(store, cfg.split_num, cfg.revcomp)
     patch_results: List[StageResult] = []
     id_maps: List[Dict[int, int]] = []
+    ref_index = None
+    if cfg.reference:
+        from ..ops.align import ReferenceIndex
+
+        ref_index = ReferenceIndex.from_fasta(cfg.reference)
     for pstore, id_map in patches:
-        overlaps = denovo_candidates(pstore, min_overlap_len, cfg.sfo_mm, cfg.kmer_k)
+        if ref_index is not None:
+            overlaps = ref_guided_candidates(pstore, ref_index, min_overlap_len)
+        else:
+            overlaps = denovo_candidates(pstore, min_overlap_len, cfg.sfo_mm, cfg.kmer_k)
         params = StageParams(
             stage="a",
             min_overlap_len=min_overlap_len,
