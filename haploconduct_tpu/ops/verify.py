@@ -246,7 +246,12 @@ def verify_overlaps(
     if s.backend == "numpy":
         ts = score_tasks_numpy(*args, **kw)
     else:
-        ts = score_tasks_jax(*args, **kw)
+        from .pallas_score import pallas_supported, score_tasks_pallas
+
+        if pallas_supported(packed.codes):
+            ts = score_tasks_pallas(*args, **kw)
+        else:
+            ts = score_tasks_jax(*args, **kw)
         if s.exact and len(plan.row_first):
             ts = _recheck_near_threshold(plan, ts, args, kw, s)
 

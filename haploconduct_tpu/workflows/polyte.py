@@ -96,7 +96,14 @@ def single_end_candidates(store: ReadStore, min_overlap_len: int, sfo_err: float
     seqs = [store.unit_codes(store.unit1[i]) for i in range(len(store))]
     sfo = find_overlap_candidates(seqs, min_overlap_len=min_overlap_len, k=k,
                                   error_rate=sfo_err, verify=True)
-    return sfo_to_overlaps(sfo, num_singles=len(seqs), num_pairs=0)
+    ov = sfo_to_overlaps(sfo, num_singles=len(seqs), num_pairs=0)
+    # candidate ids are positional; remap to the store's actual read ids
+    # (differs in split mode, where region stores keep global ids)
+    ids = np.asarray(store.ids, dtype=np.uint64)
+    if len(ov) and not np.array_equal(ids, np.arange(len(ids), dtype=np.uint64)):
+        ov["id1"] = ids[ov["id1"].astype(np.int64)]
+        ov["id2"] = ids[ov["id2"].astype(np.int64)]
+    return ov
 
 
 class _AssemblyLoop:
@@ -245,7 +252,14 @@ class _AssemblyLoop:
         return state["store"], state["subreads"]
 
 
-def run_polyte(store: ReadStore, cfg: PolyteConfig) -> PolyteResult:
+def run_polyte(store: ReadStore, cfg: PolyteConfig,
+               preprocessing: bool = True,
+               original_store: Optional[ReadStore] = None) -> PolyteResult:
+    """`preprocessing=False` takes `store` as the already-renamed single-end
+    read set (polyte --no_preprocessing, used per region by polyte-split);
+    `original_store` overrides the evidence read set for branch reduction
+    (split mode passes the full-genome read set, polyte-split.py:505-517).
+    """
     assert cfg.insert_size > 0, "insert_size required"
     ns = store.readcount_single
     npair2 = 2 * (len(store) - ns)
@@ -264,10 +278,11 @@ def run_polyte(store: ReadStore, cfg: PolyteConfig) -> PolyteResult:
     thresholds = build_threshold_table(avg_len, intseg, cfg.stddev, cfg.hap_cov) \
         if cfg.hap_cov > 0 else {}
 
-    single_store = concat_to_single_end(store)
+    single_store = concat_to_single_end(store) if preprocessing else store
     overlaps = single_end_candidates(single_store, mol_ec, cfg.sfo_err, cfg.kmer_k)
 
-    loop = _AssemblyLoop(cfg, single_store, thresholds, SE_count, PE_count,
+    evidence_store = original_store if original_store is not None else single_store
+    loop = _AssemblyLoop(cfg, evidence_store, thresholds, SE_count, PE_count,
                          original_readcount, max_tip_len, mol_ec)
     final_store, final_sub = loop.run(
         single_store, overlaps, None,

@@ -1,0 +1,141 @@
+"""Workflow-level tests on small synthetic datasets (CPU, numpy backend)."""
+
+import numpy as np
+import pytest
+
+from haploconduct_tpu.core.reads import ReadStore, decode_seq
+from haploconduct_tpu.utils.simulate import (
+    mutate_sequence, random_genome, simulate_reads)
+
+
+def make_store(seqs, quals):
+    store = ReadStore()
+    for i, (s, q) in enumerate(zip(seqs, quals)):
+        store.add_single(i, s, q)
+    store.readcount_single = len(store.ids)
+    return store
+
+
+def test_polyte_diploid_synthetic():
+    from haploconduct_tpu.workflows.polyte import PolyteConfig, run_polyte
+
+    rng = np.random.default_rng(42)
+    hap1 = random_genome(rng, 3000)
+    hap2 = mutate_sequence(hap1, rng, sub_rate=0.01)
+    seqs, quals = simulate_reads([hap1, hap2], coverage=20, read_len=150, rng=rng,
+                                 error_rate=0.0)
+    store = make_store(seqs, quals)
+    cfg = PolyteConfig(hap_cov=20, insert_size=150, stddev=15, backend="numpy",
+                       min_overlap_len=60, min_overlap_len_EC=77)
+    res = run_polyte(store, cfg)
+    assert res.store is not None and len(res.store) > 0
+    lens = sorted((res.store.read_len(i) for i in range(len(res.store))), reverse=True)
+    # should assemble large haplotigs (much longer than reads)
+    assert lens[0] > 600
+    # contigs must match one of the two haplotypes exactly (error-free reads)
+    top = decode_seq(res.store.unit_codes(res.store.unit1[
+        int(np.argmax([res.store.read_len(i) for i in range(len(res.store))]))]))
+    from haploconduct_tpu.core.reads import revcomp_str
+
+    assert any(top in h or revcomp_str(top) in h for h in (hap1, hap2))
+
+
+def test_strain_count_synthetic():
+    from haploconduct_tpu.io.sam import SamRecord
+    from haploconduct_tpu.workflows.strain_count import estimate_strain_count
+
+    ref = random_genome(np.random.default_rng(0), 2000)
+    # three strains, contigs covering the same region with disagreements
+    rng = np.random.default_rng(1)
+    strains = [ref, mutate_sequence(ref, rng, 0.02), mutate_sequence(ref, rng, 0.02)]
+    records = []
+    for i, strain in enumerate(strains):
+        records.append(SamRecord(qname=str(i), flag=0, rname="ref", pos=101,
+                                 mapq=60, cigar="800M",
+                                 seq=strain[100:900], qual="I" * 800))
+    assert estimate_strain_count(records) == 3
+    # identical contigs -> no conflicts -> count 1
+    same = [SamRecord(qname=str(i), flag=0, rname="ref", pos=101, mapq=60,
+                      cigar="800M", seq=ref[100:900], qual="I" * 800)
+            for i in range(3)]
+    assert estimate_strain_count(same) == 1
+
+
+def test_builtin_aligner_places_reads():
+    from haploconduct_tpu.ops.align import ReferenceIndex, align_store
+    from haploconduct_tpu.core.reads import encode_seq
+
+    rng = np.random.default_rng(7)
+    genome = random_genome(rng, 5000)
+    seqs, quals = simulate_reads([genome], coverage=3, read_len=200, rng=rng,
+                                 error_rate=0.005)
+    store = make_store(seqs, quals)
+    index = ReferenceIndex(["chr"], [encode_seq(genome)])
+    singles, paired = align_store(store, index)
+    assert len(singles) >= 0.95 * len(store)
+    # verify placements: aligned seq matches the reference closely
+    for rec in singles[:20]:
+        start = rec.pos - 1
+        ref_win = genome[start:start + len(rec.seq)]
+        mism = sum(a != b for a, b in zip(ref_win, rec.seq))
+        assert mism <= 0.05 * len(rec.seq)
+
+
+def test_aligner_reverse_reads():
+    from haploconduct_tpu.ops.align import ReferenceIndex, align_store
+    from haploconduct_tpu.core.reads import encode_seq, revcomp_str
+
+    rng = np.random.default_rng(8)
+    genome = random_genome(rng, 3000)
+    store = ReadStore()
+    store.add_single(0, revcomp_str(genome[500:700]), "I" * 200)
+    store.readcount_single = 1
+    index = ReferenceIndex(["chr"], [encode_seq(genome)])
+    singles, _ = align_store(store, index)
+    assert len(singles) == 1
+    assert singles[0].reverse
+    assert singles[0].pos == 501
+    assert singles[0].seq == genome[500:700]  # SAM stores aligned strand
+
+
+def test_sam_overlap_induction():
+    from haploconduct_tpu.io.sam import SamRecord, sam_to_overlaps
+
+    # two overlapping reads on the reference -> one induced overlap
+    recs = [
+        SamRecord("0", 0, "ref", 101, 60, "200M", "A" * 200, "I" * 200),
+        SamRecord("1", 0, "ref", 181, 60, "200M", "A" * 200, "I" * 200),
+    ]
+    lines = sam_to_overlaps({"ref": 1000}, recs, [], min_overlap_len=50)
+    assert len(lines) == 1
+    fields = lines[0].split("\t")
+    assert fields[:3] == ["0", "1", "80"]
+    assert fields[9] == "120"  # overlap length
+
+
+def test_polyte_split_synthetic():
+    from haploconduct_tpu.workflows.polyte_split import (
+        PolyteSplitConfig, run_polyte_split)
+    import tempfile, os
+
+    rng = np.random.default_rng(11)
+    genome = random_genome(rng, 12000)
+    hap2 = mutate_sequence(genome, rng, sub_rate=0.005)
+    seqs, quals = simulate_reads([genome, hap2], coverage=12, read_len=150,
+                                 rng=rng, error_rate=0.0)
+    store = make_store(seqs, quals)
+    with tempfile.TemporaryDirectory() as td:
+        ref_path = os.path.join(td, "ref.fasta")
+        with open(ref_path, "w") as f:
+            f.write(f">chr\n{genome}\n")
+        cfg = PolyteSplitConfig(
+            hap_cov=12, insert_size=150, stddev=15, reference=ref_path,
+            split_size=5000, split_overlap=500, backend="numpy",
+            min_overlap_len=60, min_overlap_len_EC=77, min_region_reads=50)
+        res = run_polyte_split(store, cfg)
+    assert len(res.regions) >= 2  # genome split into multiple windows
+    assert res.combined_store is not None and len(res.combined_store) > 0
+    assert res.final is not None and res.final.store is not None
+    lens = sorted((res.final.store.read_len(i)
+                   for i in range(len(res.final.store))), reverse=True)
+    assert lens[0] > 500
