@@ -59,6 +59,7 @@ def run_iteration(
     originals_dict: Optional[SubreadDict] = None,
     original_store: Optional[ReadStore] = None,
     threshold_table: Optional[dict] = None,
+    logger=None,
 ) -> IterationResult:
     if originals_dict is None:
         assert s.first_it, "originals dict required unless first iteration"
@@ -141,6 +142,8 @@ def run_iteration(
     stats["next_overlaps"] = len(lines)
 
     next_store, next_subreads = builder.build_next_store()
+    if logger is not None:
+        logger.iteration(s, stats, graph)
     return IterationResult(next_store, next_subreads, lines, False, stats)
 
 

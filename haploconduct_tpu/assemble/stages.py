@@ -50,6 +50,7 @@ class StageParams:
     original_readcount: int = 0
     backend: str = "jax"
     verbose: bool = False
+    output_dir: str = ""  # when set, per-iteration logs/stats/GFA land here
 
 
 def _base_settings(p: StageParams, **overrides) -> Settings:
@@ -88,11 +89,15 @@ def run_stage(
     if p.stage == "a":
         read_counts.append(p.original_readcount or len(store))
 
+    from ..utils.log import RunLogger
+
+    logger = RunLogger(p.output_dir or None)
+
     def step(settings: Settings) -> bool:
         """Run one iteration; returns False when the pipeline terminated."""
         nonlocal cur_store, cur_sub, cur_lines, cur_overlaps, iteration
         iteration += 1
-        res = run_iteration(cur_store, cur_overlaps, settings, cur_sub)
+        res = run_iteration(cur_store, cur_overlaps, settings, cur_sub, logger=logger)
         history.append(dict(iteration=iteration, mode=_mode_name(settings), **res.stats))
         if res.terminated:
             edge_counts.append(-2)

@@ -1,0 +1,66 @@
+"""Observability: per-iteration logs, stats, and graph exports.
+
+Equivalent of the reference's viralquasispecies.log (parameters + counts,
+src/ViralQuasispecies.cpp:166-218, 374-385, 481-489), stats.txt (vertex /
+edge / overlap counts appended per iteration), pipeline.log concatenation,
+and GFA graph exports — written only when an output directory is set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+
+class RunLogger:
+    def __init__(self, output_dir: Optional[str]):
+        self.dir = output_dir
+        if self.dir:
+            os.makedirs(self.dir, exist_ok=True)
+            self._reset("pipeline.log")
+            self._reset("stats.txt")
+
+    def _reset(self, name: str) -> None:
+        open(os.path.join(self.dir, name), "w").close()
+
+    def iteration(self, settings, stats: dict, graph=None) -> None:
+        if not self.dir:
+            return
+        # per-iteration log, appended to pipeline.log like the reference's
+        # viralquasispecies.log concatenation
+        with open(os.path.join(self.dir, "pipeline.log"), "a") as f:
+            f.write(time.strftime("%c") + "\n\n")
+            for field in dataclasses.fields(settings):
+                f.write(f"{field.name}: {getattr(settings, field.name)}\n")
+            f.write("\nOutput:\n")
+            for key, val in stats.items():
+                f.write(f"{key}: {val}\n")
+            f.write("\n*****************************************\n\n")
+        with open(os.path.join(self.dir, "stats.txt"), "a") as f:
+            f.write(f"{stats.get('n_reads', 0)}\t{stats.get('n_edges_final', 0)}"
+                    f"\t{stats.get('next_overlaps', '.')}\n")
+        with open(os.path.join(self.dir, "history.jsonl"), "a") as f:
+            f.write(json.dumps(stats) + "\n")
+        if graph is not None:
+            self.write_gfa(graph, "graph_trimmed.gfa")
+
+    def write_gfa(self, graph, name: str) -> None:
+        if not self.dir:
+            return
+        from ..core.reads import decode_seq
+        from ..io.gfa import write_gfa
+
+        store = graph.store
+        vertex_seqs = {}
+        for v in range(graph.n):
+            if not store.is_paired[v]:
+                fwd = bool(graph.vertex_orientations[v])
+                u1, _ = store.units_of(v)
+                vertex_seqs[v] = decode_seq(store.unit_codes(u1, fwd))
+        rows = graph.alive_edges()
+        edges = [(int(r["v1"]), int(r["v2"]), int(r["len1"]) + int(r["len2"]))
+                 for r in rows]
+        write_gfa(os.path.join(self.dir, name), vertex_seqs, edges)
