@@ -138,13 +138,73 @@ def cmd_polyte(argv) -> int:
     return 0
 
 
+def cmd_polyte_split(argv) -> int:
+    from .workflows.polyte_split import PolyteSplitConfig, run_polyte_split
+
+    ap = argparse.ArgumentParser(prog="haploconduct polyte-split")
+    ap.add_argument("-s", dest="input_s")
+    ap.add_argument("-p1", dest="input_p1")
+    ap.add_argument("-p2", dest="input_p2")
+    ap.add_argument("--ref", dest="reference", required=True)
+    ap.add_argument("-m", "--min_overlap_len", type=int, default=50)
+    ap.add_argument("--hap_cov", type=float, required=True)
+    ap.add_argument("--insert_size", type=float, required=True)
+    ap.add_argument("--stddev", type=float, required=True)
+    ap.add_argument("--split_size", type=int, default=10000)
+    ap.add_argument("--split_overlap", type=int, default=1000)
+    ap.add_argument("--diploid", action="store_true")
+    ap.add_argument("--mismatch_rate", dest="merge_contigs", type=float, default=0.0)
+    ap.add_argument("-o", "--outdir", default=".")
+    ap.add_argument("--backend", default="jax", choices=["jax", "numpy"])
+    args = ap.parse_args(argv)
+    store = _load_store(args)
+    cfg = PolyteSplitConfig(
+        hap_cov=args.hap_cov, insert_size=args.insert_size, stddev=args.stddev,
+        reference=args.reference, min_overlap_len=args.min_overlap_len,
+        split_size=args.split_size, split_overlap=args.split_overlap,
+        diploid=args.diploid, merge_contigs=args.merge_contigs,
+        backend=args.backend)
+    res = run_polyte_split(store, cfg)
+    os.makedirs(args.outdir, exist_ok=True)
+    final = res.final.diploid_store if (args.diploid and res.final
+                                        and res.final.diploid_store) else (
+        res.final.store if res.final else None)
+    if final is not None:
+        _write_contigs(os.path.join(args.outdir, "contigs.fasta"), final)
+    print(f"polyte-split completed: {len(res.regions)} regions")
+    return 0
+
+
+def cmd_count_strains(argv) -> int:
+    from .workflows.strain_count import strain_count_from_contigs
+    from .io.fastq import read_fasta
+
+    ap = argparse.ArgumentParser(prog="haploconduct count-strains")
+    ap.add_argument("--contigs", required=True, help="contig fasta/fastq")
+    ap.add_argument("--ref", dest="reference", required=True)
+    args = ap.parse_args(argv)
+    store = ReadStore()
+    if args.contigs.endswith("a"):
+        ids, seqs = read_fasta(args.contigs)
+        for i, seq in enumerate(seqs):
+            store.add_single(i, seq, "I" * len(seq))
+    else:
+        store = ReadStore.from_files(singles=args.contigs)
+    store.readcount_single = len(store.ids)
+    count = strain_count_from_contigs(store, args.reference)
+    print(f"The estimated number of strains in this sample is {count}.")
+    return 0
+
+
 USAGE = """HaploConduct-TPU: haplotype-aware genome assembly, TPU native.
 
 usage: haploconduct <command> [options]
 
 commands:
-    savage     assembly of viral quasispecies (ultra-deep coverage)
-    polyte     assembly of diploid/polyploid haplotigs (low coverage)
+    savage         assembly of viral quasispecies (ultra-deep coverage)
+    polyte         assembly of diploid/polyploid haplotigs (low coverage)
+    polyte-split   large-genome (>100kb) reference-binned POLYTE
+    count-strains  lower bound on the number of strains in a sample
 
 Run haploconduct <command> -h for command options.
 """
@@ -160,6 +220,10 @@ def main(argv=None) -> int:
         return cmd_savage(rest)
     if cmd == "polyte":
         return cmd_polyte(rest)
+    if cmd in ("polyte-split", "polyte_split"):
+        return cmd_polyte_split(rest)
+    if cmd in ("count-strains", "count_strains"):
+        return cmd_count_strains(rest)
     print(USAGE)
     return 1
 

@@ -46,6 +46,23 @@ def write_digraph_txt(path: str, edges) -> None:
             f.write(f"{i}\t{j}\n")
 
 
+def write_fastg(path: str, vertex_seqs: dict, edges) -> None:
+    """FASTG export (src/OverlapGraph.cpp:412-465): per single-end vertex a
+    '>id:adj1,adj2,...;' header followed by its oriented sequence."""
+    adj = {}
+    for i, j, _olen in edges:
+        adj.setdefault(i, []).append(j)
+    with open(path, "w") as f:
+        f.write("#FASTG:begin;\n")
+        f.write('#FASTG:version=1.0:assembly_name="test";\n')
+        for i in sorted(vertex_seqs):
+            neighbors = [str(j) for j in adj.get(i, []) if j in vertex_seqs]
+            header = f">{i}:" + ",".join(neighbors) if neighbors else f">{i}"
+            f.write(header + ";\n")
+            f.write(vertex_seqs[i] + "\n")
+        f.write("#FASTG:end;")
+
+
 def write_gfa(path: str, vertex_seqs: dict, edges) -> None:
     """vertex_seqs: {vertex_id: oriented sequence} for single-end vertices
     only; edges: iterable of (i, j, overlap_len). Only S-S edges are written,

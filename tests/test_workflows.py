@@ -139,3 +139,24 @@ def test_polyte_split_synthetic():
     lens = sorted((res.final.store.read_len(i)
                    for i in range(len(res.final.store))), reverse=True)
     assert lens[0] > 500
+
+
+def test_device_kmer_join_matches_host():
+    from haploconduct_tpu.core.reads import encode_seq
+    from haploconduct_tpu.ops.kmer import find_overlap_candidates
+    from haploconduct_tpu.ops.kmer_device import find_overlap_candidates_device
+
+    rng = np.random.default_rng(5)
+    genome = random_genome(rng, 3000)
+    seqs_s, _ = simulate_reads([genome], coverage=8, read_len=180, rng=rng,
+                               error_rate=0.003)
+    seqs = [encode_seq(s) for s in seqs_s]
+    host = find_overlap_candidates(seqs, min_overlap_len=90, k=15,
+                                   error_rate=0.02, verify=True)
+    dev = find_overlap_candidates_device(seqs, min_overlap_len=90, k=15,
+                                         expand=32, max_group=512,
+                                         error_rate=0.02, verify=True)
+    def keyset(sfo):
+        return set(zip(sfo["ida"].tolist(), sfo["idb"].tolist(),
+                       sfo["oha"].tolist(), sfo["ori"].tolist()))
+    assert keyset(host) == keyset(dev)
