@@ -53,6 +53,7 @@ def cmd_savage(argv) -> int:
     ap.add_argument("--average_read_len", type=float)
     ap.add_argument("--max_tip_len", type=int)
     ap.add_argument("--ignore_subreads", dest="use_subreads", action="store_false")
+    ap.add_argument("--no_filtering", dest="filtering", action="store_false")
     ap.add_argument("--backend", default="jax", choices=["jax", "numpy"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
@@ -65,6 +66,7 @@ def cmd_savage(argv) -> int:
         overlap_len_stage_c=args.overlap_len_stage_c,
         contig_len_stage_c=args.contig_len_stage_c,
         remove_branches=args.remove_branches, sfo_mm=args.sfo_mm,
+        filtering=args.filtering,
         diploid=args.diploid, average_read_len=args.average_read_len,
         max_tip_len=args.max_tip_len, use_subreads=args.use_subreads,
         stage_b=args.stage_b, stage_c=args.stage_c,

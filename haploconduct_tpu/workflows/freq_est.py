@@ -42,6 +42,37 @@ class FreqResult:
         return "\n".join(lines) + "\n"
 
 
+def estimate_frequencies_abundance(
+    contig_store,
+    read_store,
+    fragment_len: float,
+    min_len: int = 0,
+    backend: str = "jax",
+) -> FreqResult:
+    """Kallisto-mode estimation (savage/freq_est.py:195-247) through the
+    built-in pseudo-alignment + EM estimator (ops/abundance.py) instead of
+    the external kallisto binary: contigs >= min_len form the panel, every
+    sequence unit of `read_store` is pseudo-aligned, and frequencies are
+    the per-contig TPMs renormalized over the panel."""
+    from ..ops.abundance import estimate_abundance, store_unit_seqs
+
+    ids, seqs = [], []
+    for i in range(len(contig_store)):
+        if contig_store.read_len(i) >= min_len:
+            ids.append(int(contig_store.ids[i]))
+            seqs.append(contig_store.unit_codes(contig_store.unit1[i]))
+    res = estimate_abundance(
+        [str(i) for i in ids], seqs, store_unit_seqs(read_store),
+        fragment_len=fragment_len, backend=backend)
+    total = float(res.tpm.sum())
+    freqs = [float(t) / total if total > 0 else 0.0 for t in res.tpm]
+    return FreqResult(
+        contig_ids=ids, lengths=[len(s) for s in seqs], frequencies=freqs,
+        total_subread_count=res.n_pseudoaligned,
+        total_length=sum(len(s) for s in seqs),
+    )
+
+
 def estimate_frequencies(
     contig_lengths: Dict[int, int],
     subreads: SubreadDict,

@@ -51,6 +51,7 @@ class SavageConfig:
     stage_a: bool = True
     stage_b: bool = True
     stage_c: bool = True
+    filtering: bool = True  # abundance-based contig filtering (--no_filtering)
     backend: str = "jax"
     kmer_k: int = 20
     verbose: bool = False
@@ -284,6 +285,8 @@ def run_savage(
     )
     res_b = run_stage(params_b, combined, overlaps_b,
                       combined_sub if cfg.use_subreads else None)
+    if cfg.filtering:
+        res_b = _freq_filter(res_b, store, avg_len, cfg.backend)
     result.stage_b = res_b
     result.frequencies["stage_b"] = _freqs(res_b.store, res_b.subreads, min_len=1000)
     if not cfg.stage_c or len(res_b.store) == 0:
@@ -308,6 +311,8 @@ def run_savage(
     )
     res_c = run_stage(params_c, res_b.store, overlaps_c,
                       res_b.subreads if cfg.use_subreads else None)
+    if cfg.filtering:
+        res_c = _freq_filter(res_c, store, avg_len, cfg.backend)
     result.stage_c = res_c
     result.frequencies["stage_c"] = _freqs(res_c.store, res_c.subreads, min_len=1000)
 
@@ -331,6 +336,39 @@ def run_savage(
                           res_c.subreads if cfg.use_subreads else None)
         result.diploid = res_d
     return result
+
+
+def _freq_filter(res: StageResult, read_store: ReadStore, fragment_len: float,
+                 backend: str) -> StageResult:
+    """Abundance-based contig filtering (savage.py freq_filtering:719-777,
+    min_TPM=0): pseudo-align the original input reads against the stage's
+    contig panel and drop contigs whose estimated TPM is not > 0. No-op
+    when every contig has positive abundance."""
+    from dataclasses import replace
+
+    from ..ops.abundance import estimate_abundance, store_unit_seqs
+
+    n = len(res.store)
+    if n == 0:
+        return res
+    ids = [int(res.store.ids[i]) for i in range(n)]
+    seqs = [res.store.unit_codes(res.store.unit1[i]) for i in range(n)]
+    ab = estimate_abundance([str(i) for i in ids], seqs,
+                            store_unit_seqs(read_store),
+                            fragment_len=fragment_len, backend=backend)
+    keep = ab.tpm > 0.0
+    if keep.all():
+        return res
+    filtered = ReadStore()
+    for i in range(n):
+        if keep[i]:
+            u1, _ = res.store.units_of(i)
+            filtered.add_single_codes(ids[i], res.store.unit_codes(u1),
+                                      res.store.unit_quals(u1))
+    filtered.readcount_single = len(filtered.ids)
+    sub = {cid: org for cid, org in res.subreads.items()
+           if cid in {ids[i] for i in range(n) if keep[i]}}
+    return replace(res, store=filtered, subreads=sub)
 
 
 def _original_readcount(subreads: SubreadDict) -> int:
