@@ -32,7 +32,29 @@ def _pack_keys(ida, idb, shift, rev):
             | ((shift + (1 << 24)) << 1) | rev)
 
 
-def _kmer_table(seqs, lens, k: int, seed_step: int):
+def _hash_subsample_mask(h: np.ndarray, subsample: int) -> np.ndarray:
+    """Content-based k-mer selection: keep iff mix(hash) % subsample == 0.
+
+    Because selection depends only on k-mer content, two reads sharing a
+    k-mer either both keep it or both drop it, so every true overlap with
+    S shared k-mers survives with prob 1-(1-1/m)^S — the classic MinHash
+    sketching argument. This shrinks the sort-join by ~m^2 (both the
+    query list and the posting-list sizes scale by 1/m)."""
+    if subsample <= 1:
+        return np.ones(len(h), dtype=bool)
+    mixed = (h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return (mixed % np.uint64(subsample)) == 0
+
+
+def auto_subsample(min_overlap_len: int, k: int) -> int:
+    """Pick the subsampling modulus so a minimal-length true overlap
+    (sharing S = min_overlap_len - k + 1 k-mers) is missed with
+    probability < ~1e-4: m <= S/10, capped at 8."""
+    s_shared = max(min_overlap_len - k + 1, 1)
+    return int(np.clip(s_shared // 10, 1, 8))
+
+
+def _kmer_table(seqs, lens, k: int, seed_step: int, subsample: int = 1):
     """(hash, seq_id, pos) over all sequences, computed in one vectorized
     pass over an N-separated concatenation (cross-boundary k-mers are
     killed by the separator N's)."""
@@ -46,7 +68,10 @@ def _kmer_table(seqs, lens, k: int, seed_step: int):
     h = _kmer_hashes(buf, k)
     starts = np.concatenate([[0], np.cumsum(lens + k)])[:-1]
     # ownership: position p belongs to seq i iff starts[i] <= p < starts[i]+len-k+1
-    idx = np.flatnonzero(h >= 0)
+    valid = h >= 0
+    if subsample > 1:
+        valid &= _hash_subsample_mask(h, subsample)
+    idx = np.flatnonzero(valid)
     sid = np.searchsorted(starts, idx, side="right") - 1
     pos = idx - starts[sid]
     if seed_step > 1:
