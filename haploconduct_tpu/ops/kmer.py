@@ -28,8 +28,10 @@ from ..io.sfo import SFO_DTYPE
 
 
 def _pack_keys(ida, idb, shift, rev):
-    return ((((ida.astype(np.int64) << 19) | idb) << 25)
-            | ((shift + (1 << 24)) << 1) | rev)
+    """63-bit key: 19b idA | 19b idB | 24b shift(+2^23) | 1b rev.
+    Shifts are bounded by sequence length (< 2^23 here)."""
+    return ((((np.asarray(ida).astype(np.int64) << 19) | idb) << 25)
+            | ((shift + (1 << 23)) << 1) | rev)
 
 
 def _hash_subsample_mask(h: np.ndarray, subsample: int) -> np.ndarray:
@@ -106,6 +108,7 @@ def find_overlap_candidates(
     max_group: int = 2000,
     error_rate: float = 0.0,
     verify: bool = False,
+    subsample: Optional[int] = None,
 ) -> np.ndarray:
     """All candidate suffix-prefix overlaps among `seqs` (code arrays).
 
@@ -122,15 +125,21 @@ def find_overlap_candidates(
     n = len(seqs)
     if n == 0:
         return np.zeros(0, dtype=SFO_DTYPE)
+    if subsample is None:
+        subsample = auto_subsample(min_overlap_len, k)
 
-    fwd_h, fwd_sid, fwd_pos = _kmer_table(seqs, lens, k, seed_step)
+    fwd_h, fwd_sid, fwd_pos = _kmer_table(seqs, lens, k, seed_step, subsample)
     order = np.argsort(fwd_h, kind="stable")
     fwd_h, fwd_sid, fwd_pos = fwd_h[order], fwd_sid[order], fwd_pos[order]
 
-    pairs = []  # (ida, idb, shift, rev)
+    pairs = []  # packed int64 keys: 19b idA | 19b idB | 25b shift+2^24 | 1b rev
+
+    assert n < (1 << 19), "too many sequences for packed dedup keys"
 
     def join(query_h, query_sid, query_pos, rev: bool):
-        """Match query k-mers against the forward table."""
+        """Match query k-mers against the forward table; emit unique
+        packed (idA, idB, shift, rev) keys without materializing the
+        4-column candidate array (the joins dominate runtime)."""
         left = np.searchsorted(fwd_h, query_h, side="left")
         right = np.searchsorted(fwd_h, query_h, side="right")
         counts = right - left
@@ -146,28 +155,25 @@ def find_overlap_candidates(
         qa, qp = query_sid[q_idx], query_pos[q_idx]
         tb, tp = fwd_sid[t_idx], fwd_pos[t_idx]
         keep = qa != tb
-        qa, qp, tb, tp = qa[keep], qp[keep], tb[keep], tp[keep]
+        qa, tb = qa[keep], tb[keep]
         # shift = start of B's forward seq relative to A's (query) seq
-        shift = qp - tp
-        arr = np.stack([qa, tb, shift, np.full(len(qa), int(rev), dtype=np.int64)], axis=1)
-        pairs.append(arr)
+        shift = qp[keep] - tp[keep]
+        pairs.append(np.unique(_pack_keys(qa, tb, shift, int(rev))))
 
     join(fwd_h, fwd_sid, fwd_pos, rev=False)
     if with_reversals:
         rc_seqs = [revcomp_codes(sq) for sq in seqs]
-        rc_h, rc_sid, rc_pos = _kmer_table(rc_seqs, lens, k, 1)
+        rc_h, rc_sid, rc_pos = _kmer_table(rc_seqs, lens, k, 1, subsample)
         join(rc_h, rc_sid, rc_pos, rev=True)
 
     if not pairs:
         return np.zeros(0, dtype=SFO_DTYPE)
-    cand = np.concatenate(pairs, axis=0)
-    # dedup via packed int64 keys (much faster than np.unique(axis=0));
-    # layout: 19b idA | 19b idB | 25b shift(+2^24) | 1b rev
-    assert n < (1 << 19), "too many sequences for packed dedup keys"
-    key = _pack_keys(cand[:, 0], cand[:, 1], cand[:, 2], cand[:, 3])
-    cand = cand[np.unique(key, return_index=True)[1]]
-
-    qa, tb, shift, rev = cand[:, 0], cand[:, 1], cand[:, 2], cand[:, 3].astype(bool)
+    key = np.unique(np.concatenate(pairs))
+    # unpack: 19b idA | 19b idB | 24b shift(+2^23) | 1b rev
+    rev = (key & 1).astype(bool)
+    shift = ((key >> 1) & ((1 << 24) - 1)) - (1 << 23)
+    tb = (key >> 25) & ((1 << 19) - 1)
+    qa = key >> 44
     la = lens[qa]  # length of the (possibly reversed) query = len of A
     lb = lens[tb]
 
