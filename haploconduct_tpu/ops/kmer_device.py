@@ -160,8 +160,9 @@ def find_overlap_candidates_device(
     idb = np.where(swap, qa, tb)
     shift = np.where(swap, np.where(rev == 1, shift + lb - la, -shift), shift)
 
-    key = ((((ida.astype(np.int64) << 19) | idb) << 25)
-           | ((shift + (1 << 24)) << 1) | rev)
+    from .kmer import _pack_keys
+
+    key = _pack_keys(ida, idb, shift, rev)
     order = np.unique(key, return_index=True)[1]
     ida, idb, shift, rev = ida[order], idb[order], shift[order], rev[order]
     la, lb = lens[ida], lens[idb]

@@ -87,6 +87,143 @@ def sharded_score_fn(width: int, mismatch_thresh: float, min_read_len: int, axis
     return build
 
 
+@functools.lru_cache(maxsize=8)
+def sharded_pipeline_fn(R: int, W: int, k: int, expand: int,
+                        edge_threshold: float, min_overlap_len: int,
+                        axis: str = "data"):
+    """The full sharded assembly step: device k-mer join (candidate
+    generation) + phred-aware verification + edge-count reduction, SPMD
+    over the mesh's data axis.
+
+    Sharding layout: the k-mer TABLE (sorted hashes over all reads) and the
+    packed read/qual matrices are replicated; the QUERY k-mer rows are
+    sharded, so each chip joins its slice of reads against the full table,
+    verifies its candidate diagonals locally, and the accepted-edge count
+    is a psum. This is the production mapping of SURVEY §2f: per-chunk
+    OpenMP data parallelism lifted to a chip mesh, with ICI collectives
+    instead of the filesystem."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..core.reads import N_CODE
+
+    NK = W - k + 1
+    LOG10_OVER_10 = float(np.log(10.0) / 10.0)
+
+    def kmer_hashes(codes):
+        h = jnp.zeros(codes[:, :NK].shape, jnp.int32)
+        bad = jnp.zeros(codes[:, :NK].shape, jnp.bool_)
+        for j in range(k):
+            c = codes[:, j:j + NK].astype(jnp.int32)
+            h = h * 4 + jnp.where(c < N_CODE, c, 0)
+            bad = bad | (c >= N_CODE)
+        return jnp.where(bad, -1, h)
+
+    def step(q_codes, codes, quals, lens, tkey, t_rid, t_pos):
+        # q_codes: the same read matrix, sharded by row — the query side.
+        # codes/quals/lens: replicated gather targets (any candidate's
+        # partner row may live on another chip's query slice).
+        qh = kmer_hashes(q_codes)  # (R, NK), sharded by row
+        rows = jax.lax.broadcasted_iota(jnp.int32, (R, NK), 0)
+        poss = jax.lax.broadcasted_iota(jnp.int32, (R, NK), 1)
+        left = jnp.searchsorted(tkey, qh.reshape(-1), side="left").astype(jnp.int32)
+        count = (jnp.searchsorted(tkey, qh.reshape(-1), side="right").astype(jnp.int32)
+                 - left)
+        ok_q = (qh.reshape(-1) >= 0)
+        q_rid = rows.reshape(-1)
+        q_pos = poss.reshape(-1)
+        scores = []
+        n_edges = jnp.int32(0)
+        for d in range(expand):
+            t_idx = jnp.minimum(left + d, tkey.shape[0] - 1)
+            valid = ok_q & (d < count)
+            rid_b = t_rid[t_idx]
+            valid &= rid_b != q_rid
+            shift = q_pos - t_pos[t_idx]
+            valid &= shift >= 0  # canonical half; mirrored pair covers rest
+            # verify the diagonal: score codes[q_rid, shift:] vs codes[rid_b, :]
+            col = jax.lax.broadcasted_iota(jnp.int32, (valid.shape[0], W), 1)
+            idx = jnp.minimum(shift[:, None] + col, W - 1)
+            a = jnp.take_along_axis(codes[q_rid], idx, axis=1)
+            qa = jnp.take_along_axis(quals[q_rid], idx, axis=1)
+            b = codes[rid_b]
+            qb = quals[rid_b]
+            L = jnp.minimum(lens[q_rid] - shift, lens[rid_b])
+            cm = (col < L[:, None]) & (a < N_CODE) & (b < N_CODE)
+            p1 = jnp.exp(qa.astype(jnp.float32) * (-LOG10_OVER_10))
+            p2 = jnp.exp(qb.astype(jnp.float32) * (-LOG10_OVER_10))
+            match = a == b
+            p_match = (1.0 - p1) * (1.0 - p2) + (p1 * p2) * (1.0 / 3.0)
+            p_mis = ((p1 * (1.0 - p2) + p2 * (1.0 - p1)) * (1.0 / 3.0)
+                     + (2.0 / 9.0) * (p1 * p2))
+            p = jnp.where(match, p_match, p_mis)
+            sum_log = jnp.sum(jnp.where(cm, jnp.log(p), 0.0), axis=1)
+            counted = jnp.sum(cm, axis=1)
+            ok = valid & (counted >= min_overlap_len)
+            score = jnp.where(ok, jnp.exp(sum_log / jnp.maximum(counted, 1)), 0.0)
+            scores.append(score)
+            n_edges += jnp.sum((score > edge_threshold).astype(jnp.int32))
+        return jnp.stack(scores, axis=1), n_edges
+
+    def build(mesh):
+        repl = NamedSharding(mesh, P())
+        shard0 = NamedSharding(mesh, P(axis))
+        return jax.jit(
+            step,
+            in_shardings=(shard0, repl, repl, repl, repl, repl, repl),
+            out_shardings=(shard0, repl),
+        )
+
+    return build
+
+
+def sharded_assembly_step(mesh, codes: np.ndarray, quals: np.ndarray,
+                          lens: np.ndarray, k: int = 13, expand: int = 8,
+                          edge_threshold: float = 0.97,
+                          min_overlap_len: int = 30):
+    """Host wrapper: sorted k-mer table on host (np.argsort), then the
+    sharded join+verify step on the mesh. Returns (per-candidate score
+    matrix (R, NK*... flattened per expand slot), accepted edge count)."""
+    import jax.numpy as jnp
+
+    R, W = codes.shape
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    pad_rows = (-R) % n_dev
+    if pad_rows:
+        from ..core.reads import PAD_CODE
+
+        codes = np.concatenate([codes, np.full((pad_rows, W), PAD_CODE, codes.dtype)])
+        quals = np.concatenate([quals, np.zeros((pad_rows, W), quals.dtype)])
+        lens = np.concatenate([lens, np.zeros(pad_rows, lens.dtype)])
+    Rp = R + pad_rows
+
+    # host-side sorted table (hash, rid, pos) over forward k-mers
+    from ..ops.kmer import _kmer_hashes
+
+    NK = W - k + 1
+    hs, rids, poss = [], [], []
+    for r in range(Rp):
+        h = _kmer_hashes(codes[r], k)[:NK]
+        hs.append(h)
+        rids.append(np.full(len(h), r, np.int32))
+        poss.append(np.arange(len(h), dtype=np.int32))
+    h = np.concatenate(hs)
+    rid = np.concatenate(rids)
+    pos = np.concatenate(poss)
+    h32 = np.where(h >= 0, h, np.int64(2**31 - 1)).astype(np.int32)
+    order = np.argsort(h32, kind="stable")
+
+    fn = sharded_pipeline_fn(Rp, W, k, expand, float(edge_threshold),
+                             int(min_overlap_len))(mesh)
+    scores, n_edges = fn(
+        jnp.asarray(codes), jnp.asarray(codes),
+        jnp.asarray(quals.astype(np.int8)),
+        jnp.asarray(lens.astype(np.int32)),
+        jnp.asarray(h32[order]), jnp.asarray(rid[order]), jnp.asarray(pos[order]))
+    return np.asarray(scores)[:R * NK], int(n_edges)
+
+
 def sharded_verify(
     mesh,
     codes: np.ndarray,
