@@ -237,15 +237,17 @@ def find_overlap_candidates(
 
 
 def _verify_candidates(seqs, lens, sfo: np.ndarray, error_rate: float) -> np.ndarray:
-    """Score each candidate diagonal (sequence-only) and keep candidates
-    whose mismatch count is <= ceil(error_rate * overlap_len)."""
+    """Count mismatches on each candidate diagonal (sequence-only) and keep
+    candidates whose count is <= ceil(error_rate * overlap_len).
+
+    Pure int8 compare on the shifted windows — no phred math; the full
+    Bayesian scoring runs later in the edge calculator. This pass is on
+    POLYTE's critical path (overlaps are recomputed every iteration)."""
     from ..core.reads import PAD_CODE
-    from .score import score_tasks_numpy
 
     n = len(seqs)
     w = int(lens.max(initial=1))
     codes = np.full((2 * n, w), PAD_CODE, dtype=np.int8)
-    quals = np.full((2 * n, w), 40, dtype=np.uint8)
     for i, sq in enumerate(seqs):
         codes[i, :len(sq)] = sq
         codes[n + i, :len(sq)] = revcomp_codes(sq)
@@ -254,10 +256,25 @@ def _verify_candidates(seqs, lens, sfo: np.ndarray, error_rate: float) -> np.nda
     shift = sfo["oha"].astype(np.int64)
     rev = sfo["ori"] == b"I"
     row_b = np.where(rev, sfo["idb"] + n, sfo["idb"])
-    row_first = np.where(shift >= 0, sfo["ida"], row_b)
-    row_second = np.where(shift >= 0, row_b, sfo["ida"])
+    row_first = np.where(shift >= 0, sfo["ida"], row_b).astype(np.int64)
+    row_second = np.where(shift >= 0, row_b, sfo["ida"]).astype(np.int64)
     pos = np.abs(shift)
-    ts = score_tasks_numpy(codes, quals, lens2, row_first, row_second, pos)
-    allowed = np.ceil(error_rate * np.maximum(ts.counted, 1)).astype(np.int64)
-    keep = (ts.counted > 0) & (ts.mismatches <= allowed)
+
+    counted = np.zeros(len(sfo), dtype=np.int64)
+    mism = np.zeros(len(sfo), dtype=np.int64)
+    col = np.arange(w, dtype=np.int64)[None, :]
+    chunk = 16384
+    for lo in range(0, len(sfo), chunk):
+        hi = min(lo + chunk, len(sfo))
+        a = codes[row_first[lo:hi]]
+        b = codes[row_second[lo:hi]]
+        p = pos[lo:hi, None]
+        idx = np.minimum(p + col, w - 1)
+        a_shift = np.take_along_axis(a, idx, axis=1)
+        L = np.minimum(lens2[row_first[lo:hi]] - pos[lo:hi], lens2[row_second[lo:hi]])
+        cm = (col < L[:, None]) & (a_shift < N_CODE) & (b < N_CODE)
+        counted[lo:hi] = np.count_nonzero(cm, axis=1)
+        mism[lo:hi] = np.count_nonzero(cm & (a_shift != b), axis=1)
+    allowed = np.ceil(error_rate * np.maximum(counted, 1)).astype(np.int64)
+    keep = (counted > 0) & (mism <= allowed)
     return sfo[keep]

@@ -94,12 +94,15 @@ def concat_to_single_end(store: ReadStore) -> ReadStore:
 def single_end_candidates(store: ReadStore, min_overlap_len: int, sfo_err: float,
                           k: int = 20) -> np.ndarray:
     seqs = [store.unit_codes(store.unit1[i]) for i in range(len(store))]
-    # subsample=1: POLYTE recomputes contig overlaps every iteration
-    # (polyte.py:739-746) with modest sequence counts, and its
-    # mismatch-rate merging is sensitive to individual candidates — full
-    # k-mer density is cheap here and keeps iterations deterministic
+    # Seed density: the initial read-scale join (thousands of sequences,
+    # S = m-k+1 >> 80 shared k-mers per true overlap) safely uses
+    # content-based subsampling; later contig-scale iterations (smaller
+    # stores, mismatch-rate merging sensitive to individual candidates)
+    # keep full density.
+    subsample = None if len(seqs) > 1500 else 1
     sfo = find_overlap_candidates(seqs, min_overlap_len=min_overlap_len, k=k,
-                                  error_rate=sfo_err, verify=True, subsample=1)
+                                  error_rate=sfo_err, verify=True,
+                                  subsample=subsample)
     ov = sfo_to_overlaps(sfo, num_singles=len(seqs), num_pairs=0)
     # candidate ids are positional; remap to the store's actual read ids
     # (differs in split mode, where region stores keep global ids)
