@@ -154,6 +154,7 @@ def cmd_polyte_split(argv) -> int:
     ap.add_argument("--stddev", type=float, required=True)
     ap.add_argument("--split_size", type=int, default=10000)
     ap.add_argument("--split_overlap", type=int, default=1000)
+    ap.add_argument("--pool_size", type=int, default=1)
     ap.add_argument("--diploid", action="store_true")
     ap.add_argument("--mismatch_rate", dest="merge_contigs", type=float, default=0.0)
     ap.add_argument("-o", "--outdir", default=".")
@@ -164,6 +165,7 @@ def cmd_polyte_split(argv) -> int:
         hap_cov=args.hap_cov, insert_size=args.insert_size, stddev=args.stddev,
         reference=args.reference, min_overlap_len=args.min_overlap_len,
         split_size=args.split_size, split_overlap=args.split_overlap,
+        pool_size=args.pool_size,
         diploid=args.diploid, merge_contigs=args.merge_contigs,
         backend=args.backend)
     res = run_polyte_split(store, cfg)

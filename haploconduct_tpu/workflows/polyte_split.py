@@ -32,6 +32,7 @@ class PolyteSplitConfig(PolyteConfig):
     split_overlap: int = 1000
     min_region_reads: int = 100  # file_len >= 400 lines
     min_region_depth: int = 2  # maxdepth > 2 required to keep a region
+    pool_size: int = 1  # parallel regions (polyte-split.py --pool_size)
 
 
 @dataclass
@@ -127,9 +128,12 @@ def run_polyte_split(store: ReadStore, cfg: PolyteSplitConfig) -> PolyteSplitRes
     )
 
     result = PolyteSplitResult(None, None, None)
-    combined = ReadStore()
-    combined_sub: SubreadDict = {}
-    next_contig = 0
+
+    # collect region jobs first, then assemble them (optionally with a
+    # worker pool over regions, the reference's multiprocessing.Pool at
+    # polyte-split.py:335-354; threads suffice here since the hot work is
+    # GIL-releasing numpy/XLA)
+    jobs: List[Tuple[Tuple[str, int, int], ReadStore]] = []
     for chrom, window_list in windows.items():
         recs = by_name.get(chrom, [])
         for lb, ub in window_list:
@@ -144,26 +148,45 @@ def run_polyte_split(store: ReadStore, cfg: PolyteSplitConfig) -> PolyteSplitRes
                 rstore.add_single_codes(gid, single_store.unit_codes(u1),
                                         single_store.unit_quals(u1))
             rstore.readcount_single = len(rstore)
-            result.regions.append((chrom, lb, ub))
-            try:
-                rres = run_polyte(rstore, region_cfg, preprocessing=False,
-                                  original_store=single_store)
-            except Exception:
-                # per-region failures are tolerated (polyte-split.py:537-540)
-                continue
-            result.region_results.append(rres)
-            out_store = rres.diploid_store if (cfg.diploid and rres.diploid_store
-                                               and len(rres.diploid_store) > 0) else rres.store
-            out_sub = rres.diploid_subreads if (cfg.diploid and rres.diploid_store
-                                                and len(rres.diploid_store) > 0) else rres.subreads
-            if out_store is None:
-                continue
-            for i in range(len(out_store)):
-                u1, _ = out_store.units_of(i)
-                combined.add_single_codes(next_contig, out_store.unit_codes(u1),
-                                          out_store.unit_quals(u1))
-                combined_sub[next_contig] = out_sub[int(out_store.ids[i])]
-                next_contig += 1
+            jobs.append(((chrom, lb, ub), rstore))
+
+    def run_region(rstore: ReadStore) -> Optional[PolyteResult]:
+        try:
+            return run_polyte(rstore, region_cfg, preprocessing=False,
+                              original_store=single_store)
+        except Exception:
+            # per-region failures are tolerated (polyte-split.py:537-540)
+            return None
+
+    if cfg.pool_size > 1 and len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.pool_size) as pool:
+            outcomes = list(pool.map(run_region, [st for _, st in jobs]))
+    else:
+        outcomes = [run_region(st) for _, st in jobs]
+
+    # merge in window order regardless of completion order (determinism)
+    combined = ReadStore()
+    combined_sub: SubreadDict = {}
+    next_contig = 0
+    for (region, _), rres in zip(jobs, outcomes):
+        result.regions.append(region)
+        if rres is None:
+            continue
+        result.region_results.append(rres)
+        out_store = rres.diploid_store if (cfg.diploid and rres.diploid_store
+                                           and len(rres.diploid_store) > 0) else rres.store
+        out_sub = rres.diploid_subreads if (cfg.diploid and rres.diploid_store
+                                            and len(rres.diploid_store) > 0) else rres.subreads
+        if out_store is None:
+            continue
+        for i in range(len(out_store)):
+            u1, _ = out_store.units_of(i)
+            combined.add_single_codes(next_contig, out_store.unit_codes(u1),
+                                      out_store.unit_quals(u1))
+            combined_sub[next_contig] = out_sub[int(out_store.ids[i])]
+            next_contig += 1
     combined.readcount_single = len(combined)
     result.combined_store = combined
     result.combined_subreads = combined_sub
