@@ -54,6 +54,8 @@ def cmd_savage(argv) -> int:
     ap.add_argument("--max_tip_len", type=int)
     ap.add_argument("--ignore_subreads", dest="use_subreads", action="store_false")
     ap.add_argument("--no_filtering", dest="filtering", action="store_false")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse completed stage checkpoints in the output dir")
     ap.add_argument("--backend", default="jax", choices=["jax", "numpy"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
@@ -70,6 +72,7 @@ def cmd_savage(argv) -> int:
         diploid=args.diploid, average_read_len=args.average_read_len,
         max_tip_len=args.max_tip_len, use_subreads=args.use_subreads,
         stage_b=args.stage_b, stage_c=args.stage_c,
+        output_dir=args.outdir, resume=args.resume,
         backend=args.backend, verbose=args.verbose,
     )
     res = run_savage(store, cfg)

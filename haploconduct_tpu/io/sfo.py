@@ -183,51 +183,115 @@ def sfo_to_overlaps(sfo: np.ndarray, num_singles: int, num_pairs: int) -> np.nda
     """
     if sfo.size == 0:
         return empty_overlaps(0)
-    # Canonicalize so original-id1 <= original-id2 (flip_N / flip_I).
-    rows = []
-    for r in sfo:
-        ida, idb = int(r["ida"]), int(r["idb"])
-        na = _original_id(ida, num_singles, num_pairs)
-        nb = _original_id(idb, num_singles, num_pairs)
-        ori, oha, ohb = r["ori"], int(r["oha"]), int(r["ohb"])
-        ola, olb, k = int(r["ola"]), int(r["olb"]), int(r["k"])
-        if na > nb:
-            if ori == b"I":
-                rows.append((nb, na, idb, ida, ori, ohb, oha, olb, ola, k))
-            else:
-                rows.append((nb, na, idb, ida, ori, -oha, -ohb, olb, ola, k))
-        else:
-            rows.append((na, nb, ida, idb, ori, oha, ohb, ola, olb, k))
-    # sort -k1,1n -k2,2n -k3,3n -k4,4n | uniq
-    rows = sorted(set(rows), key=lambda t: (t[0], t[1], t[2], t[3]))
+    # Canonicalize so original-id1 <= original-id2 (flip_N / flip_I),
+    # vectorized over all candidate rows.
+    ida = sfo["ida"].astype(np.int64)
+    idb = sfo["idb"].astype(np.int64)
+    if num_pairs:
+        na = np.where(ida < num_singles + num_pairs, ida, ida - num_pairs)
+        nb = np.where(idb < num_singles + num_pairs, idb, idb - num_pairs)
+    else:
+        na, nb = ida, idb
+    rev = sfo["ori"] == b"I"
+    oha = sfo["oha"].astype(np.int64)
+    ohb = sfo["ohb"].astype(np.int64)
+    ola = sfo["ola"].astype(np.int64)
+    olb = sfo["olb"].astype(np.int64)
+    kcol = sfo["k"].astype(np.int64)
+    flip = na > nb
+    c_na = np.where(flip, nb, na)
+    c_nb = np.where(flip, na, nb)
+    c_sa = np.where(flip, idb, ida)
+    c_sb = np.where(flip, ida, idb)
+    c_oha = np.where(flip, np.where(rev, ohb, -oha), oha)
+    c_ohb = np.where(flip, np.where(rev, oha, -ohb), ohb)
+    c_ola = np.where(flip, olb, ola)
+    c_olb = np.where(flip, ola, olb)
+    cols = (c_na, c_nb, c_sa, c_sb, rev.astype(np.int64), c_oha, c_ohb,
+            c_ola, c_olb, kcol)
+    # sort -k1,1n -k2,2n -k3,3n -k4,4n | uniq (full-field refinement for a
+    # deterministic tie order) + consecutive dedup
+    order = np.lexsort(cols[::-1])
+    mat = np.stack([c[order] for c in cols], axis=1)
+    if len(mat) > 1:
+        keep = np.ones(len(mat), dtype=bool)
+        keep[1:] = np.any(mat[1:] != mat[:-1], axis=1)
+        mat = mat[keep]
 
-    out_rows: List[list] = []
+    pa = (num_pairs > 0) & (mat[:, 0] >= num_singles)
+    pb = (num_pairs > 0) & (mat[:, 1] >= num_singles)
+    not_self = mat[:, 0] != mat[:, 1]
+    ss_mask = ~pa & ~pb & not_self
+
+    # ---- vectorized S-S conversion (scripts/sfo2overlaps.py:150-200)
+    ss = mat[ss_mask]
+    ss_out = empty_overlaps(len(ss))
+    if len(ss):
+        v_na, v_nb = ss[:, 0], ss[:, 1]
+        v_rev = ss[:, 4].astype(bool)
+        v_oha, v_ohb, v_ola, v_olb = ss[:, 5], ss[:, 6], ss[:, 7], ss[:, 8]
+        ovlen = np.minimum(v_ola, v_olb)
+        a_first = v_oha >= 0
+        neg_ohb = np.where(v_ohb >= 0, 0, -v_ohb)
+        pos_ohb = np.where(v_ohb >= 0, v_ohb, 0)
+        readlen_a = np.where(a_first, v_ola + v_oha + neg_ohb, v_ola + neg_ohb)
+        readlen_b = np.where(a_first, v_olb + pos_ohb, -v_oha + v_olb + pos_ohb)
+        minreadlen = np.minimum(readlen_a, readlen_b)
+        assert (minreadlen > 0).all()
+        # py2 round-half-away-from-zero on a non-negative ratio
+        perc = np.minimum(
+            np.floor(100.0 * ovlen / minreadlen + 0.5).astype(np.int64), 100)
+        ss_out["id1"] = np.where(a_first, v_na, v_nb)
+        ss_out["id2"] = np.where(a_first, v_nb, v_na)
+        ss_out["pos1"] = np.where(a_first, v_oha, -v_oha)
+        ss_out["ord"] = b"-"
+        ori_ab = np.where(v_rev, b"-", b"+")
+        ss_out["ori1"] = np.where(a_first, b"+", ori_ab)
+        ss_out["ori2"] = np.where(a_first, ori_ab, b"+")
+        ss_out["perc1"] = perc
+        ss_out["len1"] = ovlen
+        ss_out["type1"] = b"s"
+        ss_out["type2"] = b"s"
+
+    # ---- paired groups: Python loop over the (few) rows touching pairs
+    pe_rows = np.flatnonzero(~ss_mask & not_self)
+    pe_out: List[Tuple[int, list]] = []  # (emit row position, 13-col fields)
     group: List[Tuple] = []
-    for row in rows:
-        ida, idb = row[0], row[1]
-        if ida == idb:  # self-overlap
-            continue
-        pa = _is_paired(ida, num_singles, num_pairs)
-        pb = _is_paired(idb, num_singles, num_pairs)
-        if not pa and not pb:
-            ov = _s_s_overlap(row)
-            if ov is not None:
-                out_rows.append(ov)
-        else:
-            if group and (group[0][0], group[0][1]) != (ida, idb):
-                # NOTE reference quirk kept for parity: the flushed group is
-                # typed by the *current* line's paired status, and the last
-                # group is never flushed (scripts/sfo2overlaps.py:89-102).
-                out_rows.extend(_match_group(group, pa, pb))
-                group = []
-            group.append(row)
+    for ridx in pe_rows:
+        row = tuple(mat[ridx])
+        row = (row[0], row[1], row[2], row[3],
+               b"I" if row[4] else b"N", row[5], row[6], row[7], row[8], row[9])
+        cur_pa = bool(pa[ridx])
+        cur_pb = bool(pb[ridx])
+        if group and (group[0][0], group[0][1]) != (row[0], row[1]):
+            # NOTE reference quirk kept for parity: the flushed group is
+            # typed by the *current* line's paired status, and the last
+            # group is never flushed (scripts/sfo2overlaps.py:89-102).
+            for ov in _match_group(group, cur_pa, cur_pb):
+                pe_out.append((int(ridx), ov))
+            group = []
+        group.append(row)
 
-    # final `uniq` pass: drop consecutive duplicates
-    deduped: List[list] = []
-    for ov in out_rows:
-        if not deduped or ov != deduped[-1]:
-            deduped.append(ov)
-    out = empty_overlaps(len(deduped))
-    for i, ov in enumerate(deduped):
-        out[i] = tuple(ov)
-    return out
+    # merge S-S and paired outputs in original (sorted-row) emit order
+    if pe_out:
+        ss_idx = np.flatnonzero(ss_mask)
+        merged = empty_overlaps(len(ss_out) + len(pe_out))
+        order_keys = np.concatenate([
+            ss_idx.astype(np.int64),
+            np.array([e for e, _ in pe_out], dtype=np.int64)])
+        pe_arr = empty_overlaps(len(pe_out))
+        for i, (_, ov) in enumerate(pe_out):
+            pe_arr[i] = tuple(ov)
+        merged[:len(ss_out)] = ss_out
+        merged[len(ss_out):] = pe_arr
+        merged = merged[np.argsort(order_keys, kind="stable")]
+    else:
+        merged = ss_out
+
+    # final `uniq` pass: drop consecutive duplicate rows
+    if len(merged) > 1:
+        raw = merged.view(np.uint8).reshape(len(merged), -1)
+        keep = np.ones(len(merged), dtype=bool)
+        keep[1:] = np.any(raw[1:] != raw[:-1], axis=1)
+        merged = merged[keep]
+    return merged

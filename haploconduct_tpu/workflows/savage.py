@@ -16,6 +16,7 @@ In-memory rebuild of the reference's savage.py orchestration:
 
 from __future__ import annotations
 
+import os
 import random
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -52,6 +53,9 @@ class SavageConfig:
     stage_b: bool = True
     stage_c: bool = True
     filtering: bool = True  # abundance-based contig filtering (--no_filtering)
+    output_dir: Optional[str] = None  # enables stage-granular checkpoints
+    resume: bool = False  # reuse completed stage checkpoints (reference
+    # savage.py --no_stage_a/--no_stage_b skip semantics, files-based)
     backend: str = "jax"
     kmer_k: int = 20
     verbose: bool = False
@@ -234,36 +238,65 @@ def run_savage(
     min_overlap_len = cfg.min_overlap_len or int(round(0.6 * avg_len))
     max_tip_len = cfg.max_tip_len if cfg.max_tip_len is not None else int(round(avg_len))
 
+    # ---- stage-granular checkpoints (reference: working-dir files +
+    # --no_* skip flags, savage.py:58-63, 175-192)
+    ckpt_root = os.path.join(cfg.output_dir, "checkpoints") if cfg.output_dir else None
+
+    def ckpt_dir(name: str) -> Optional[str]:
+        return os.path.join(ckpt_root, name) if ckpt_root else None
+
+    def ckpt_exists(name: str) -> bool:
+        d = ckpt_dir(name)
+        return bool(d) and os.path.exists(os.path.join(d, "singles.fastq"))
+
+    def ckpt_save(name: str, cstore: ReadStore, sub: Optional[SubreadDict]):
+        if ckpt_root:
+            from ..utils.checkpoint import save_state
+
+            save_state(ckpt_dir(name), cstore, sub)
+
+    def ckpt_load(name: str):
+        from ..utils.checkpoint import load_state
+
+        cstore, sub, _ = load_state(ckpt_dir(name))
+        return cstore, sub
+
     # ---- stage a per patch
-    patches = split_into_patches(store, cfg.split_num, cfg.revcomp)
-    patch_results: List[StageResult] = []
-    id_maps: List[Dict[int, int]] = []
-    ref_index = None
-    if cfg.reference:
-        from ..ops.align import ReferenceIndex
+    if cfg.resume and ckpt_exists("stage_a"):
+        combined, combined_sub = ckpt_load("stage_a")
+        result.stage_a = StageResult(store=combined, subreads=combined_sub,
+                                     overlap_lines=[], iterations=0)
+    else:
+        patches = split_into_patches(store, cfg.split_num, cfg.revcomp)
+        patch_results: List[StageResult] = []
+        id_maps: List[Dict[int, int]] = []
+        ref_index = None
+        if cfg.reference:
+            from ..ops.align import ReferenceIndex
 
-        ref_index = ReferenceIndex.from_fasta(cfg.reference)
-    for pstore, id_map in patches:
-        if ref_index is not None:
-            overlaps = ref_guided_candidates(pstore, ref_index, min_overlap_len)
-        else:
-            overlaps = denovo_candidates(pstore, min_overlap_len, cfg.sfo_mm, cfg.kmer_k)
-        params = StageParams(
-            stage="a",
-            min_overlap_len=min_overlap_len,
-            edge_threshold=0.97,
-            clique_size_EC=cfg.min_clique_size,
-            remove_branches=cfg.remove_branches,
-            max_tip_len=max_tip_len,
-            original_readcount=len(pstore),
-            backend=cfg.backend,
-            verbose=cfg.verbose,
-        )
-        patch_results.append(run_stage(params, pstore, overlaps))
-        id_maps.append(id_map)
+            ref_index = ReferenceIndex.from_fasta(cfg.reference)
+        for pstore, id_map in patches:
+            if ref_index is not None:
+                overlaps = ref_guided_candidates(pstore, ref_index, min_overlap_len)
+            else:
+                overlaps = denovo_candidates(pstore, min_overlap_len, cfg.sfo_mm, cfg.kmer_k)
+            params = StageParams(
+                stage="a",
+                min_overlap_len=min_overlap_len,
+                edge_threshold=0.97,
+                clique_size_EC=cfg.min_clique_size,
+                remove_branches=cfg.remove_branches,
+                max_tip_len=max_tip_len,
+                original_readcount=len(pstore),
+                backend=cfg.backend,
+                verbose=cfg.verbose,
+            )
+            patch_results.append(run_stage(params, pstore, overlaps))
+            id_maps.append(id_map)
 
-    combined, combined_sub = combine_patch_contigs(patch_results, id_maps)
-    result.stage_a = patch_results[0]
+        combined, combined_sub = combine_patch_contigs(patch_results, id_maps)
+        result.stage_a = patch_results[0]
+        ckpt_save("stage_a", combined, combined_sub)
     result.combined_store = combined
     result.combined_subreads = combined_sub
     result.frequencies["stage_a"] = _freqs(combined, combined_sub, min_len=1000)
@@ -271,22 +304,28 @@ def run_savage(
         return result
 
     # ---- stage b: extend contigs
-    overlaps_b = contig_candidates(combined, min_overlap_len, 200, cfg.kmer_k)
-    params_b = StageParams(
-        stage="b",
-        min_overlap_len=min_overlap_len,
-        edge_threshold=0.995,
-        remove_branches=cfg.remove_branches,
-        max_tip_len=max_tip_len,
-        first_it=not cfg.use_subreads,
-        original_readcount=_original_readcount(combined_sub),
-        backend=cfg.backend,
-        verbose=cfg.verbose,
-    )
-    res_b = run_stage(params_b, combined, overlaps_b,
-                      combined_sub if cfg.use_subreads else None)
-    if cfg.filtering:
-        res_b = _freq_filter(res_b, store, avg_len, cfg.backend)
+    if cfg.resume and ckpt_exists("stage_b"):
+        b_store, b_sub = ckpt_load("stage_b")
+        res_b = StageResult(store=b_store, subreads=b_sub,
+                            overlap_lines=[], iterations=0)
+    else:
+        overlaps_b = contig_candidates(combined, min_overlap_len, 200, cfg.kmer_k)
+        params_b = StageParams(
+            stage="b",
+            min_overlap_len=min_overlap_len,
+            edge_threshold=0.995,
+            remove_branches=cfg.remove_branches,
+            max_tip_len=max_tip_len,
+            first_it=not cfg.use_subreads,
+            original_readcount=_original_readcount(combined_sub),
+            backend=cfg.backend,
+            verbose=cfg.verbose,
+        )
+        res_b = run_stage(params_b, combined, overlaps_b,
+                          combined_sub if cfg.use_subreads else None)
+        if cfg.filtering:
+            res_b = _freq_filter(res_b, store, avg_len, cfg.backend)
+        ckpt_save("stage_b", res_b.store, res_b.subreads)
     result.stage_b = res_b
     result.frequencies["stage_b"] = _freqs(res_b.store, res_b.subreads, min_len=1000)
     if not cfg.stage_c or len(res_b.store) == 0:
@@ -313,6 +352,7 @@ def run_savage(
                       res_b.subreads if cfg.use_subreads else None)
     if cfg.filtering:
         res_c = _freq_filter(res_c, store, avg_len, cfg.backend)
+    ckpt_save("stage_c", res_c.store, res_c.subreads)
     result.stage_c = res_c
     result.frequencies["stage_c"] = _freqs(res_c.store, res_c.subreads, min_len=1000)
 
