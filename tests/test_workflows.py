@@ -160,3 +160,31 @@ def test_device_kmer_join_matches_host():
         return set(zip(sfo["ida"].tolist(), sfo["idb"].tolist(),
                        sfo["oha"].tolist(), sfo["ori"].tolist()))
     assert keyset(host) == keyset(dev)
+
+
+def test_savage_checkpoint_resume(tmp_path):
+    """With output_dir set, run_savage writes stage checkpoints; a resume
+    run reuses them and reproduces the same contigs."""
+    from haploconduct_tpu.workflows.savage import SavageConfig, run_savage
+
+    rng = np.random.default_rng(7)
+    hap = random_genome(rng, 1200)
+    seqs, quals = simulate_reads([hap], coverage=30, read_len=100, rng=rng,
+                                 error_rate=0.0)
+    store = make_store(seqs, quals)
+    cfg = SavageConfig(min_overlap_len=60, split_num=1, backend="numpy",
+                       output_dir=str(tmp_path), stage_c=False)
+    res1 = run_savage(store, cfg)
+    assert (tmp_path / "checkpoints" / "stage_a" / "singles.fastq").exists()
+    assert (tmp_path / "checkpoints" / "stage_b" / "singles.fastq").exists()
+
+    import dataclasses
+
+    res2 = run_savage(store, dataclasses.replace(cfg, resume=True))
+
+    def contig_set(res):
+        st = res.stage_b.store
+        return sorted(decode_seq(st.unit_codes(st.unit1[i]))
+                      for i in range(len(st)))
+
+    assert contig_set(res1) == contig_set(res2)
