@@ -58,8 +58,8 @@ def bench_device(packed, lens, row_a, row_b, pos, repeats: int = 20):
 
     from haploconduct_tpu.ops import pallas_score as P
 
-    codes2, quals2 = P.pack_for_pallas(packed.codes, packed.quals)
-    w = codes2.shape[1] // 2
+    combined = P.pack_for_pallas(packed.codes, packed.quals)
+    w = combined.shape[1] // 2
     b = len(row_a)
     L = np.minimum(lens[row_a].astype(np.int64) - pos, lens[row_b]).astype(np.int64)
     rows_packed = ((row_a.astype(np.int64) << 16) | row_b).astype(np.int32)
@@ -68,18 +68,18 @@ def bench_device(packed, lens, row_a, row_b, pos, repeats: int = 20):
     kernel = P._build_kernel(w, 0.0)
 
     @jax.jit
-    def repeat_run(cd, qd, rp, pp):
+    def repeat_run(cd, rp, pp):
         def body(i, acc):
-            out = kernel(cd, qd, jnp.roll(rp, i), jnp.roll(pp, i))
+            out = kernel(cd, jnp.roll(rp, i), jnp.roll(pp, i))
             return acc + jnp.sum(out[0])
 
         return jax.lax.fori_loop(0, repeats, body, jnp.float32(0))
 
-    cd, qd = jnp.asarray(codes2), jnp.asarray(quals2)
+    cd = jnp.asarray(combined)
     rp, pp = jnp.asarray(rows_packed), jnp.asarray(posl_packed)
-    float(repeat_run(cd, qd, rp, pp))  # compile + warmup
+    float(repeat_run(cd, rp, pp))  # compile + warmup
     t0 = time.perf_counter()
-    float(repeat_run(cd, qd, rp, pp))
+    float(repeat_run(cd, rp, pp))
     dt = time.perf_counter() - t0
     return b * repeats / dt
 

@@ -19,9 +19,11 @@ Mosaic constraints discovered empirically on this toolchain (v5e):
   (8, 2W) scratch (2W = 1024 for the W=512 bucket);
 - rolling a dynamically-offset load directly mis-composes -> materialize
   the load into scratch first;
-- uint8 -> f32 casts are unsupported -> qualities travel as int8 and are
-  combined with base codes into one int32 word (code | qual<<3) so each
-  task needs a single roll + sublane select.
+- uint8 -> f32 casts are unsupported -> qualities travel as int8;
+- the kernel is GATHER-bound (a math-free variant runs within 5% of the
+  full kernel), so base code and quality are pre-combined on HOST into one
+  int16 word (code | qual<<3, 9 bits used) -> ONE vector load + roll +
+  sublane select per task side instead of two.
 
 Falls back to the XLA path off-TPU or when the packed matrices exceed the
 VMEM budget (large-contig iterations, where batches are small anyway).
@@ -57,7 +59,7 @@ def _build_kernel(width: int, mismatch_thresh: float):
     TB = 32 * GROUP  # tasks per grid step (amortizes per-step DMA overhead)
 
     def kernel(rows_ref, posl_ref,                  # scalar prefetch (B,) SMEM
-               codes_ref, quals_ref,                # VMEM (R, 2W) int8, full
+               comb_ref,                            # VMEM (R, 2W) int16, full
                sumlog_ref, counted_ref, mism_ref, rej_ref,  # (TB, 1)
                sa_scr, ga_scr, gb_scr, l_scr):
         # sa_scr: (GROUP, ROLLW) roll staging; ga/gb: (TB, W) gathered task
@@ -86,18 +88,15 @@ def _build_kernel(width: int, mismatch_thresh: float):
                 p128 = pl.multiple_of((p >> 7) << 7, 128)
                 d = p & 127
 
-                ca = codes_ref[pl.ds(r8a, 8), pl.ds(p128, LOADW)].astype(jnp.int32)
-                qa = quals_ref[pl.ds(r8a, 8), pl.ds(p128, LOADW)].astype(jnp.int32)
-                sa_scr[:, :LOADW] = ca | (qa << 3)
+                sa_scr[:, :LOADW] = comb_ref[pl.ds(r8a, 8),
+                                             pl.ds(p128, LOADW)].astype(jnp.int32)
                 # after a left-rotate by d (< 128), lanes [0, W) read from
                 # [d, W+d) which stays inside the initialized LOADW region
                 rolled = pltpu.roll(sa_scr[:, :], -d, 1)[:, :W]
                 a_rows.append(jnp.sum(jnp.where(sub_iota == sub_a, rolled, 0),
                                       axis=0, keepdims=True))
 
-                cb = codes_ref[pl.ds(r8b, 8), :W].astype(jnp.int32)
-                qb = quals_ref[pl.ds(r8b, 8), :W].astype(jnp.int32)
-                combined_b = cb | (qb << 3)
+                combined_b = comb_ref[pl.ds(r8b, 8), :W].astype(jnp.int32)
                 b_rows.append(jnp.sum(jnp.where(sub_iota == sub_b, combined_b, 0),
                                       axis=0, keepdims=True))
                 l_vals.append(jnp.full((1, 1), lt, jnp.int32))
@@ -137,7 +136,7 @@ def _build_kernel(width: int, mismatch_thresh: float):
         mism_ref[:, 0] = mism
         rej_ref[:, 0] = rejected
 
-    def run(codes2w, quals2w, rows_packed, posl_packed):
+    def run(combined2w, rows_packed, posl_packed):
         b = rows_packed.shape[0]
         nsteps = b // TB
         out = pl.pallas_call(
@@ -146,7 +145,6 @@ def _build_kernel(width: int, mismatch_thresh: float):
                 num_scalar_prefetch=2,
                 grid=(nsteps,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
@@ -168,24 +166,24 @@ def _build_kernel(width: int, mismatch_thresh: float):
                 jax.ShapeDtypeStruct((b, 1), jnp.int32),
                 jax.ShapeDtypeStruct((b, 1), jnp.int32),
             ],
-        )(rows_packed, posl_packed, codes2w, quals2w)
+        )(rows_packed, posl_packed, combined2w)
         return tuple(o.reshape(-1) for o in out)
 
     return jax.jit(run)
 
 
-def pack_for_pallas(codes: np.ndarray, quals: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad (R, W) packed unit matrices to (R, 2W) int8 for in-kernel
-    aligned loads; W is rounded up to a power of two >= 256."""
+def pack_for_pallas(codes: np.ndarray, quals: np.ndarray) -> np.ndarray:
+    """Combine (R, W) packed unit matrices into one (R, 2W) int16 matrix of
+    code | qual<<3 words (9 bits used) for single-load in-kernel gathers;
+    W is rounded up to a power of two >= 256."""
     r, w = codes.shape
     wp = 256
     while wp < w:
         wp *= 2
-    codes2 = np.full((r, 2 * wp), PAD_CODE, dtype=np.int8)
-    quals2 = np.zeros((r, 2 * wp), dtype=np.int8)
-    codes2[:, :w] = codes
-    quals2[:, :w] = quals.astype(np.int8)
-    return codes2, quals2
+    comb = np.full((r, 2 * wp), PAD_CODE, dtype=np.int16)
+    comb[:, :w] = (codes.astype(np.int16)
+                   | (quals.astype(np.int16) << 3))
+    return comb
 
 
 def pallas_supported(codes: np.ndarray) -> bool:
@@ -200,7 +198,7 @@ def pallas_supported(codes: np.ndarray) -> bool:
     wp = 256
     while wp < w:
         wp *= 2
-    return 2 * r * 2 * wp <= VMEM_BUDGET_BYTES  # codes+quals int8 at 2W
+    return 2 * r * 2 * wp <= VMEM_BUDGET_BYTES  # combined int16 at 2W
 
 
 def score_tasks_pallas(
@@ -220,8 +218,8 @@ def score_tasks_pallas(
     from .score import TaskScores
 
     b = len(row_a)
-    codes2, quals2 = pack_for_pallas(codes, quals)
-    w = codes2.shape[1] // 2
+    combined = pack_for_pallas(codes, quals)
+    w = combined.shape[1] // 2
     lens = unit_lens_by_row.astype(np.int64)
     len_a = lens[row_a]
     len_b = lens[row_b]
@@ -234,8 +232,7 @@ def score_tasks_pallas(
     posl_packed = ((pos64 << 16) | np.maximum(np.minimum(L, 0xFFFF), 0)).astype(np.int32)
 
     fn = _build_kernel(w, float(mismatch_thresh))
-    codes_d = jnp.asarray(codes2)
-    quals_d = jnp.asarray(quals2)
+    comb_d = jnp.asarray(combined)
     outs = []
     for start in range(0, b, CHUNK):
         end = min(start + CHUNK, b)
@@ -246,7 +243,7 @@ def score_tasks_pallas(
         if pad:
             rp = np.concatenate([rp, np.zeros(pad, np.int32)])
             pp = np.concatenate([pp, np.zeros(pad, np.int32)])
-        res = fn(codes_d, quals_d, jnp.asarray(rp), jnp.asarray(pp))
+        res = fn(comb_d, jnp.asarray(rp), jnp.asarray(pp))
         outs.append(tuple(np.asarray(r)[:n] for r in res))
     sum_log = np.concatenate([o[0] for o in outs]).astype(np.float64)
     counted = np.concatenate([o[1] for o in outs]).astype(np.int64)
