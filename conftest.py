@@ -13,4 +13,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("RUN_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")

@@ -258,7 +258,10 @@ class SuperreadBuilder:
             coverage_any[sl] += 1
             counts[sl] += 1
             p_err = np.power(10.0, -q / 10.0)
-            l_match = np.log10(1.0 - p_err)
+            with np.errstate(divide="ignore"):
+                # phred 0 => p_err == 1 => log10(0) = -inf, matching the
+                # reference's C++ double semantics (SRBuilder.cpp:297-402)
+                l_match = np.log10(1.0 - p_err)
             l_mis = np.log10(p_err / 3.0)
             valid = w < N_CODE
             lm = np.where(valid, l_match, 0.0)

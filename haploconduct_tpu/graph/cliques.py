@@ -105,8 +105,94 @@ def enumerate_cliques_py(n: int, v1: np.ndarray, v2: np.ndarray) -> List[List[in
     return out
 
 
-def enumerate_cliques(n: int, v1: np.ndarray, v2: np.ndarray) -> List[List[int]]:
-    """Native C++ backend when available, Python fallback otherwise."""
+def enumerate_cliques_tomita(n: int, v1: np.ndarray, v2: np.ndarray) -> List[List[int]]:
+    """Adjacency-matrix Bron-Kerbosch with pivoting (Tomita et al.), the
+    reference's `qc --algorithm=tomita` (quick-cliques/src/TomitaAlgorithm).
+    Candidate sets are boolean vectors; the pivot scan |P ∩ N(u)| is one
+    vectorized matrix-row reduction instead of a per-vertex loop."""
+    adj = _build_adj(n, v1, v2)
+    A = np.zeros((n, n), dtype=bool)
+    for v, nbrs in enumerate(adj):
+        A[v, nbrs] = True
+
+    out: List[List[int]] = []
+
+    def bk(r: List[int], p: np.ndarray, x: np.ndarray) -> None:
+        if not p.any():
+            if not x.any():
+                out.append(list(r))
+            return
+        cand = np.flatnonzero(p | x)
+        counts = A[cand][:, p].sum(axis=1)
+        u = int(cand[np.argmax(counts)])  # first max wins, ascending id
+        for v in np.flatnonzero(p & ~A[u]):
+            v = int(v)
+            nv = A[v]
+            bk(r + [v], p & nv, x & nv)
+            p = p.copy()
+            x = x.copy()
+            p[v] = False
+            x[v] = True
+
+    bk([], np.ones(n, dtype=bool), np.zeros(n, dtype=bool))
+    return out
+
+
+def enumerate_cliques_adjlist(n: int, v1: np.ndarray, v2: np.ndarray) -> List[List[int]]:
+    """Adjacency-list Bron-Kerbosch with pivoting, no degeneracy ordering
+    (the reference's `qc --algorithm=adjlist`,
+    quick-cliques/src/AdjacencyListAlgorithm)."""
+    adj = _build_adj(n, v1, v2)
+    adj_sets = [set(a.tolist()) for a in adj]
+    out: List[List[int]] = []
+
+    def bk(r: List[int], p: List[int], x: List[int]) -> None:
+        if not p and not x:
+            out.append(list(r))
+            return
+        best_u, best_c = -1, -1
+        for u in sorted(p) + sorted(x):
+            c = sum(1 for w in p if w in adj_sets[u])
+            if c > best_c:
+                best_u, best_c = u, c
+        for v in sorted(p):
+            if v in adj_sets[best_u]:
+                continue
+            nv = adj_sets[v]
+            bk(r + [v], [w for w in p if w in nv], [w for w in x if w in nv])
+            p.remove(v)
+            x.append(v)
+
+    bk([], list(range(n)), [])
+    return out
+
+
+# adjacency-matrix variants allocate an n*n matrix; the reference only does
+# so below 20k vertices (quick-cliques/src/main.cpp:167-191)
+MATRIX_VERTEX_LIMIT = 20_000
+
+ALGORITHMS = ("degeneracy", "tomita", "adjlist", "hybrid")
+
+
+def enumerate_cliques(
+    n: int, v1: np.ndarray, v2: np.ndarray, algorithm: str = "degeneracy"
+) -> List[List[int]]:
+    """All maximal cliques. `algorithm` mirrors the reference's
+    `qc --algorithm=` dispatch (quick-cliques/src/main.cpp:209-220);
+    `degeneracy` (the one every reference workflow uses) runs the native
+    C++ backend when available, Python fallback otherwise. `hybrid` picks
+    matrix vs list form by vertex count as the reference does."""
+    if algorithm == "hybrid":
+        algorithm = "tomita" if n < MATRIX_VERTEX_LIMIT else "adjlist"
+    if algorithm == "tomita":
+        if n >= MATRIX_VERTEX_LIMIT:
+            raise ValueError(
+                f"tomita needs an n^2 matrix; n={n} exceeds {MATRIX_VERTEX_LIMIT}")
+        return enumerate_cliques_tomita(n, v1, v2)
+    if algorithm == "adjlist":
+        return enumerate_cliques_adjlist(n, v1, v2)
+    if algorithm != "degeneracy":
+        raise ValueError(f"unknown algorithm {algorithm!r}; one of {ALGORITHMS}")
     try:
         from ..native import load_cliques_ext
 

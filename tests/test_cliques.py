@@ -78,6 +78,24 @@ def test_degeneracy_order_is_smallest_last():
     assert list(order)[0] == 4  # isolated vertex has degree 0, removed first
 
 
+@pytest.mark.parametrize("algorithm", ["tomita", "adjlist", "hybrid"])
+@pytest.mark.parametrize("seed", [0, 5])
+def test_algorithm_variants_agree(algorithm, seed):
+    rng = np.random.default_rng(seed)
+    n = 30
+    v1 = rng.integers(0, n, 120)
+    v2 = rng.integers(0, n, 120)
+    want = {frozenset(c) for c in enumerate_cliques(n, v1, v2)}
+    got = {frozenset(c) for c in enumerate_cliques(n, v1, v2, algorithm=algorithm)}
+    assert got == want
+
+
+def test_variant_dispatch_errors():
+    v = np.zeros(0, np.int64)
+    with pytest.raises(ValueError):
+        enumerate_cliques(3, v, v, algorithm="nope")
+
+
 def test_cliques_file_roundtrip(tmp_path):
     cliques = [[3, 1, 2], [0], [5, 4]]
     p = tmp_path / "cliques.txt"

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -186,3 +188,33 @@ def test_verify_backends_agree():
     np.testing.assert_array_equal(r64.nonedge_mask, r32.nonedge_mask)
     np.testing.assert_array_equal(r64.edges["v1"], r32.edges["v1"])
     np.testing.assert_array_equal(r64.edges["v2"], r32.edges["v2"])
+
+
+@pytest.mark.skipif(os.environ.get("RUN_TPU") != "1",
+                    reason="needs the real TPU chip; set RUN_TPU=1")
+def test_pallas_kernel_matches_numpy_oracle():
+    """Pallas verification kernel vs the float64 numpy oracle on the chip."""
+    from haploconduct_tpu.ops.pallas_score import PAD_CODE, score_tasks_pallas
+
+    rng = np.random.default_rng(0)
+    R, W = 512, 300
+    codes = np.full((R, W), PAD_CODE, np.int8)
+    quals = np.zeros((R, W), np.uint8)
+    lens = rng.integers(80, W + 1, R).astype(np.int64)
+    for i in range(R):
+        codes[i, :lens[i]] = rng.integers(0, 4, lens[i])
+        quals[i, :lens[i]] = rng.integers(2, 41, lens[i])
+    B = 4096
+    row_a = rng.integers(0, R, B).astype(np.int64)
+    row_b = rng.integers(0, R, B).astype(np.int64)
+    pos = np.array([rng.integers(0, max(1, lens[a] - 30)) for a in row_a], np.int64)
+
+    for thresh in (0.0, 0.3):
+        tp = score_tasks_pallas(codes, quals, lens, row_a, row_b, pos,
+                                mismatch_thresh=thresh)
+        to = score_tasks_numpy(codes, quals, lens, row_a, row_b, pos,
+                               mismatch_thresh=thresh)
+        np.testing.assert_allclose(tp.sum_log, to.sum_log, rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(tp.counted, to.counted)
+        np.testing.assert_array_equal(tp.mismatches, to.mismatches)
+        np.testing.assert_array_equal(tp.rejected, to.rejected)
