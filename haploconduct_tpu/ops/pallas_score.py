@@ -233,7 +233,12 @@ def score_tasks_pallas(
 
     fn = _build_kernel(w, float(mismatch_thresh))
     comb_d = jnp.asarray(combined)
-    outs = []
+    # dispatch ALL chunks before any host fetch: JAX dispatch is async, so
+    # upload/kernel/download pipeline across chunks; a per-chunk
+    # np.asarray would serialize one tunnel round-trip per chunk (~0.5s
+    # each through the axon tunnel)
+    dev_outs = []
+    ns = []
     for start in range(0, b, CHUNK):
         end = min(start + CHUNK, b)
         n = end - start
@@ -243,12 +248,16 @@ def score_tasks_pallas(
         if pad:
             rp = np.concatenate([rp, np.zeros(pad, np.int32)])
             pp = np.concatenate([pp, np.zeros(pad, np.int32)])
-        res = fn(comb_d, jnp.asarray(rp), jnp.asarray(pp))
-        outs.append(tuple(np.asarray(r)[:n] for r in res))
-    sum_log = np.concatenate([o[0] for o in outs]).astype(np.float64)
-    counted = np.concatenate([o[1] for o in outs]).astype(np.int64)
-    mism = np.concatenate([o[2] for o in outs]).astype(np.int64)
-    rejected = np.concatenate([o[3] for o in outs]) > 0
+        dev_outs.append(fn(comb_d, jnp.asarray(rp), jnp.asarray(pp)))
+        ns.append(n)
+    # concat per output column on device -> exactly 4 host transfers total
+    cols = [jnp.concatenate([d[j][:n] for d, n in zip(dev_outs, ns)])
+            if len(dev_outs) > 1 else dev_outs[0][j][:ns[0]]
+            for j in range(4)]
+    sum_log = np.asarray(cols[0]).astype(np.float64)
+    counted = np.asarray(cols[1]).astype(np.int64)
+    mism = np.asarray(cols[2]).astype(np.int64)
+    rejected = np.asarray(cols[3]) > 0
 
     degenerate = (pos64 >= len_a) | (len_a < min_read_len) | (len_b < min_read_len) | (counted == 0)
     ok = ~degenerate & ~rejected
