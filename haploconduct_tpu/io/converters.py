@@ -178,3 +178,83 @@ def overlap_histogram(ov: np.ndarray) -> Dict[str, List[int]]:
             idx = 3
         out[key][idx] += 1
     return out
+
+
+# --- clique-engine graph-format converters -------------------------------
+# Library equivalents of the reference's quick-cliques/utils/ stdin
+# converters (dimacs2edges.py, edge2dimacs.py, edges2graph.py,
+# edges2snap.py, invertdimacs.py), operating on (n_vertices, v1, v2)
+# undirected edge arrays. "edges" text = the graph.txt format OverlapGraph
+# writes (line1 #vertices, line2 #edge-lines, then "i,j" BOTH directions,
+# 0-based); dimacs = "p edge V E" + "e i j" 1-based; metis ".graph" =
+# "V E" header + per-vertex sorted 1-based neighbor lines; snap = "i\tj".
+
+
+def _canon_undirected(n: int, v1: np.ndarray, v2: np.ndarray):
+    """Unique undirected edges as (a < b) int64 pairs, loops dropped."""
+    v1 = np.asarray(v1, np.int64)
+    v2 = np.asarray(v2, np.int64)
+    keep = v1 != v2
+    a = np.minimum(v1[keep], v2[keep])
+    b = np.maximum(v1[keep], v2[keep])
+    key = np.unique(a * np.int64(n) + b)
+    return key // n, key % n
+
+
+def edges_to_dimacs(n: int, v1: np.ndarray, v2: np.ndarray) -> str:
+    a, b = _canon_undirected(n, v1, v2)
+    lines = ["c", f"p edge {n} {len(a)}"]
+    lines += [f"e {x + 1} {y + 1}" for x, y in zip(a, b)]
+    return "\n".join(lines) + "\n"
+
+
+def dimacs_to_edges(text: str):
+    """-> (n, v1, v2) with both directions listed, matching graph.txt."""
+    n = 0
+    pairs = []
+    for line in text.splitlines():
+        if line.startswith("c") or not line.strip():
+            continue
+        if line.startswith("p"):
+            parts = line.split()
+            n = int(parts[-2])
+            continue
+        parts = line.split()
+        x, y = int(parts[1]) - 1, int(parts[2]) - 1
+        if x == y:
+            raise ValueError("loop in dimacs file")
+        pairs.append((x, y))
+        pairs.append((y, x))
+    v = np.array(pairs, np.int64).reshape(-1, 2)
+    return n, v[:, 0], v[:, 1]
+
+
+def complement_edges(n: int, v1: np.ndarray, v2: np.ndarray):
+    """Edge set of the complement graph (the --invert / invertdimacs path)."""
+    a, b = _canon_undirected(n, v1, v2)
+    adj = np.zeros((n, n), dtype=bool)
+    adj[a, b] = True
+    iu = np.triu_indices(n, 1)
+    missing = ~adj[iu]
+    return iu[0][missing].astype(np.int64), iu[1][missing].astype(np.int64)
+
+
+def edges_to_metis_graph(n: int, v1: np.ndarray, v2: np.ndarray) -> str:
+    """quick-cliques '.graph' format (edges2graph.py): 'V E' then one
+    sorted 1-based neighbor line per vertex."""
+    a, b = _canon_undirected(n, v1, v2)
+    nbrs = [[] for _ in range(n)]
+    for x, y in zip(a, b):
+        nbrs[x].append(y)
+        nbrs[y].append(x)
+    lines = [f"{n} {len(a)}"]
+    lines += [" ".join(str(w + 1) for w in sorted(nb)) for nb in nbrs]
+    return "\n".join(lines) + "\n"
+
+
+def edges_to_snap(n: int, v1: np.ndarray, v2: np.ndarray) -> str:
+    """Tab-separated directed edge list (edges2snap.py keeps both
+    directions as given)."""
+    v1 = np.asarray(v1, np.int64)
+    v2 = np.asarray(v2, np.int64)
+    return "".join(f"{x}\t{y}\n" for x, y in zip(v1, v2))

@@ -112,3 +112,25 @@ def test_subreads_roundtrip(tmp_path):
     assert back[7][4].is_paired and not back[7][4].forward
     assert back[7][3].len1 == 100 and not back[7][3].is_paired
     assert back[8][1].len1 == 250
+
+
+def test_clique_graph_format_converters():
+    from haploconduct_tpu.io.converters import (
+        edges_to_dimacs, dimacs_to_edges, complement_edges,
+        edges_to_metis_graph, edges_to_snap)
+
+    n = 5
+    v1 = np.array([0, 1, 0, 2, 1, 2, 2, 3])  # both-direction listing
+    v2 = np.array([1, 0, 2, 0, 2, 1, 3, 2])
+    dim = edges_to_dimacs(n, v1, v2)
+    assert dim.splitlines()[1] == "p edge 5 4"
+    n2, w1, w2 = dimacs_to_edges(dim)
+    assert n2 == n
+    assert {(a, b) for a, b in zip(w1, w2)} == {(0, 1), (1, 0), (0, 2), (2, 0),
+                                                (1, 2), (2, 1), (2, 3), (3, 2)}
+    c1, c2 = complement_edges(n, v1, v2)
+    comp = {(a, b) for a, b in zip(c1, c2)}
+    assert comp == {(0, 3), (0, 4), (1, 3), (1, 4), (2, 4), (3, 4)}
+    g = edges_to_metis_graph(n, v1, v2).splitlines()
+    assert g[0] == "5 4" and g[1] == "2 3" and g[5] == ""  # isolated vertex 4
+    assert edges_to_snap(n, np.array([0]), np.array([3])) == "0\t3\n"
