@@ -38,9 +38,33 @@ import numpy as np
 
 from ..core.reads import N_CODE, PAD_CODE
 
-GROUP = 8  # tasks per grid step
+GROUP = 8  # tasks per gather sub-group (one aligned 8-row scratch write)
 CHUNK = 65536  # tasks per pallas_call (SMEM scalar budget: 2 arrays x 256KB)
-VMEM_BUDGET_BYTES = 11 * 1024 * 1024
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # of the ~16MB scoped-vmem limit
+
+
+def _tb_for_width(width: int) -> int:
+    """Tasks per grid step. Scoped VMEM spent per step scales as TB*W:
+    2 gather-scratch buffers PLUS ~3 live (TB, W) vector temporaries of
+    the scoring math that Mosaic allocates on the vmem stack (measured:
+    W=4096 TB=256 -> 25.7MB; W=4096 TB=96 -> fits; W=8192 TB=48 ->
+    16.6MB, i.e. ~4.6 x TB*W*4 + input). Shrink TB as the width bucket
+    grows; wide buckets have large per-row loads so small TB still
+    amortizes the per-step DMA."""
+    tb = min(32 * GROUP, (128 * 1024) // width)
+    return max(GROUP, (tb // GROUP) * GROUP)
+
+
+def _vmem_estimate(rows: int, width: int) -> int:
+    """Scoped-VMEM bytes the kernel needs for an (rows, 2*width) packed
+    matrix: input + 5x TB*W*4 (2 gather scratch + ~3 live math temps,
+    measured multiplier ~4.6) + roll staging + ~1.5MB slack for outputs
+    and alignment."""
+    tb = _tb_for_width(width)
+    inp = rows * 2 * width * 2             # int16 combined matrix
+    step = 5 * tb * width * 4              # gather scratch + live temps
+    stage = GROUP * 2 * width * 4          # sa_scr int32
+    return inp + step + stage + (3 << 19)
 
 
 @functools.lru_cache(maxsize=32)
@@ -56,7 +80,7 @@ def _build_kernel(width: int, mismatch_thresh: float):
     assert W & (W - 1) == 0 and W >= 256
     LOG10_OVER_10 = float(np.log(10.0) / 10.0)
 
-    TB = 32 * GROUP  # tasks per grid step (amortizes per-step DMA overhead)
+    TB = _tb_for_width(W)  # tasks per grid step (amortizes per-step DMA)
 
     def kernel(rows_ref, posl_ref,                  # scalar prefetch (B,) SMEM
                comb_ref,                            # VMEM (R, 2W) int16, full
@@ -138,6 +162,7 @@ def _build_kernel(width: int, mismatch_thresh: float):
 
     def run(combined2w, rows_packed, posl_packed):
         b = rows_packed.shape[0]
+        assert b % TB == 0, f"batch {b} not a multiple of TB={TB}"
         nsteps = b // TB
         out = pl.pallas_call(
             kernel,
@@ -198,7 +223,7 @@ def pallas_supported(codes: np.ndarray) -> bool:
     wp = 256
     while wp < w:
         wp *= 2
-    return 2 * r * 2 * wp <= VMEM_BUDGET_BYTES  # combined int16 at 2W
+    return _vmem_estimate(r, wp) <= VMEM_BUDGET_BYTES
 
 
 def score_tasks_pallas(
@@ -218,6 +243,10 @@ def score_tasks_pallas(
     from .score import TaskScores
 
     b = len(row_a)
+    if b == 0:
+        z = np.zeros(0)
+        return TaskScores(z, z, z, z.astype(np.int64), z.astype(np.int64),
+                          z.astype(bool))
     combined = pack_for_pallas(codes, quals)
     w = combined.shape[1] // 2
     lens = unit_lens_by_row.astype(np.int64)
@@ -232,6 +261,7 @@ def score_tasks_pallas(
     posl_packed = ((pos64 << 16) | np.maximum(np.minimum(L, 0xFFFF), 0)).astype(np.int32)
 
     fn = _build_kernel(w, float(mismatch_thresh))
+    tb = _tb_for_width(w)
     comb_d = jnp.asarray(combined)
     # dispatch ALL chunks before any host fetch: JAX dispatch is async, so
     # upload/kernel/download pipeline across chunks; a per-chunk
@@ -242,7 +272,7 @@ def score_tasks_pallas(
     for start in range(0, b, CHUNK):
         end = min(start + CHUNK, b)
         n = end - start
-        pad = (-n) % (32 * GROUP)
+        pad = (-n) % tb
         rp = rows_packed[start:end]
         pp = posl_packed[start:end]
         if pad:
