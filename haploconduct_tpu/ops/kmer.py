@@ -48,12 +48,23 @@ def _hash_subsample_mask(h: np.ndarray, subsample: int) -> np.ndarray:
     return (mixed % np.uint64(subsample)) == 0
 
 
-def auto_subsample(min_overlap_len: int, k: int) -> int:
-    """Pick the subsampling modulus so a minimal-length true overlap
-    (sharing S = min_overlap_len - k + 1 k-mers) is missed with
-    probability < ~1e-4: m <= S/10, capped at 8."""
+def auto_subsample(min_overlap_len: int, k: int, error_rate: float = 0.0) -> int:
+    """Pick the subsampling modulus so a minimal-length true overlap is
+    missed with probability < ~1e-4: m <= S/10, capped at 8.
+
+    S is the expected number of *exact* shared k-mers in a minimal-length
+    overlap. Error-free that is min_overlap_len - k + 1; sequencing errors
+    break k-mers, so each survives with probability ~(1-e)^k per read
+    (~(1-e)^(2k) for a pair of reads that must both carry it exactly), and
+    we scale S accordingly. With the default e=0 this reduces to the
+    error-free count — callers with noisy reads must pass their error rate
+    or the real miss rate at minimum overlap length can be 10-100x higher
+    than the 1e-4 design point."""
     s_shared = max(min_overlap_len - k + 1, 1)
-    return int(np.clip(s_shared // 10, 1, 8))
+    if error_rate > 0.0:
+        survive = (1.0 - min(error_rate, 0.5)) ** (2 * k)
+        s_shared = max(s_shared * survive, 1.0)
+    return int(np.clip(int(s_shared) // 10, 1, 8))
 
 
 def _kmer_table(seqs, lens, k: int, seed_step: int, subsample: int = 1):
@@ -126,13 +137,13 @@ def find_overlap_candidates(
     if n == 0:
         return np.zeros(0, dtype=SFO_DTYPE)
     if subsample is None:
-        subsample = auto_subsample(min_overlap_len, k)
+        subsample = auto_subsample(min_overlap_len, k, error_rate)
 
     fwd_h, fwd_sid, fwd_pos = _kmer_table(seqs, lens, k, seed_step, subsample)
     order = np.argsort(fwd_h, kind="stable")
     fwd_h, fwd_sid, fwd_pos = fwd_h[order], fwd_sid[order], fwd_pos[order]
 
-    pairs = []  # packed int64 keys: 19b idA | 19b idB | 25b shift+2^24 | 1b rev
+    pairs = []  # packed int64 keys: 19b idA | 19b idB | 24b shift(+2^23) | 1b rev
 
     assert n < (1 << 19), "too many sequences for packed dedup keys"
 

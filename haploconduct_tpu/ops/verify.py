@@ -226,6 +226,11 @@ def combine_scores(
     return edges
 
 
+# test/diagnostic instrumentation: counters of how many tasks/overlaps the
+# exactness machinery re-scored in f64 during the last verify_overlaps call
+RECHECK_STATS = {"tasks": 0, "overlaps": 0}
+
+
 def verify_overlaps(
     store: ReadStore,
     packed: PackedUnits,
@@ -234,15 +239,26 @@ def verify_overlaps(
 ) -> VerifyResult:
     """Score a batch of (pre-filtered) overlaps into edge candidates.
 
-    Device path scores in f32; any overlap whose decision could be flipped
-    by f32 rounding (within RECHECK_MARGIN of edge/ov thresholds, including
-    the per-task edge_threshold comparisons inside the paired combine rule)
-    is re-scored with the float64 oracle, making threshold decisions exact.
+    Device path scores in f32 but every *decision* is exact:
+    - mismatch rates are recomputed on host in f64 from the exact integer
+      (mismatches, counted) pair the kernel returns, so the
+      ``mismatch_rate <= merge_contigs`` comparison can never be flipped
+      by f32 rounding;
+    - any per-task score within RECHECK_MARGIN of edge/ov thresholds is
+      re-scored with the f64 oracle (this covers the per-task
+      edge_threshold comparisons inside the paired combine rule);
+    - any *combined* per-overlap score (0.5*(s1+s2) or min(s1,s2),
+      src/EdgeCalculator.cpp:254-379) within RECHECK_MARGIN of a threshold
+      has BOTH its tasks re-scored in f64 and is re-combined — two tasks
+      individually far from a threshold can average to within f32 error
+      of it, which a per-task recheck alone would miss.
     """
     plan, meta = plan_tasks(store, packed, ov)
     lens_by_row = np.concatenate([packed.lens, packed.lens])
     args = (packed.codes, packed.quals, lens_by_row, plan.row_first, plan.row_second, plan.pos)
     kw = dict(mismatch_thresh=s.mismatch, min_read_len=s.min_read_len)
+    RECHECK_STATS["tasks"] = 0
+    RECHECK_STATS["overlaps"] = 0
     if s.backend == "numpy":
         ts = score_tasks_numpy(*args, **kw)
     else:
@@ -252,10 +268,22 @@ def verify_overlaps(
             ts = score_tasks_pallas(*args, **kw)
         else:
             ts = score_tasks_jax(*args, **kw)
+        ts = _exact_mismatch_rates(plan, ts, lens_by_row, kw)
         if s.exact and len(plan.row_first):
             ts = _recheck_near_threshold(plan, ts, args, kw, s)
 
     edges_all = combine_scores(ov, plan, meta, ts, s)
+
+    if s.backend != "numpy" and s.exact and len(plan.row_first):
+        borderline_ov = (
+            (np.abs(edges_all["score"] - s.edge_threshold) < RECHECK_MARGIN)
+            | (np.abs(edges_all["score"] - s.ov_threshold) < RECHECK_MARGIN)
+        )
+        if np.any(borderline_ov):
+            RECHECK_STATS["overlaps"] = int(np.sum(borderline_ov))
+            ts = _recheck_tasks_of(plan, ts, args, kw, borderline_ov)
+            edges_all = combine_scores(ov, plan, meta, ts, s)
+
     score = edges_all["score"]
     mism = edges_all["mismatch_rate"]
     is_edge = (score > s.edge_threshold) | (mism <= s.merge_contigs)
@@ -268,17 +296,55 @@ def verify_overlaps(
     )
 
 
+def _exact_mismatch_rates(plan: TaskPlan, ts: TaskScores, lens_by_row, kw) -> TaskScores:
+    """Replace the device's f32 mismatch rates by exact f64 ratios.
+
+    mismatches and counted are exact integers from the kernel, and the
+    degenerate/rejected conditions are exact integer/boolean comparisons
+    reproducible on host — so mismatch_rate needs no margin machinery at
+    all (reference comparison: mismatch_rate <= merge_contigs evaluated in
+    C++ double, src/EdgeCalculator.cpp:404-409).
+    """
+    if len(plan.row_first) == 0:
+        return ts
+    len_a = lens_by_row[plan.row_first].astype(np.int64)
+    len_b = lens_by_row[plan.row_second].astype(np.int64)
+    min_read_len = kw["min_read_len"]
+    degenerate = (
+        (plan.pos >= len_a)
+        | (len_a < min_read_len)
+        | (len_b < min_read_len)
+        | (ts.counted == 0)
+    )
+    ok = ~degenerate & ~ts.rejected
+    with np.errstate(divide="ignore", invalid="ignore"):
+        exact = np.where(
+            ok, ts.mismatches.astype(np.float64) / np.maximum(ts.counted, 1), 1.0
+        )
+    return ts._replace(mismatch_rate=exact)
+
+
 def _recheck_near_threshold(plan: TaskPlan, ts: TaskScores, args, kw, s: Settings) -> TaskScores:
     """Re-score near-threshold tasks with the f64 oracle."""
     borderline_task = (
         (np.abs(ts.score - s.edge_threshold) < RECHECK_MARGIN)
         | (np.abs(ts.score - s.ov_threshold) < RECHECK_MARGIN)
     )
-    # mismatch-rate and per-position-reject decisions are exact integers /
-    # exact comparisons; only the geometric-mean score needs f64.
     if not np.any(borderline_task):
         return ts
-    idx = np.flatnonzero(borderline_task)
+    return _recheck_task_idx(plan, ts, args, kw, np.flatnonzero(borderline_task))
+
+
+def _recheck_tasks_of(plan: TaskPlan, ts: TaskScores, args, kw, ov_mask: np.ndarray) -> TaskScores:
+    """Re-score (in f64) every task belonging to the masked overlaps."""
+    t1 = plan.t1_of[ov_mask]
+    t2 = plan.t2_of[ov_mask]
+    idx = np.unique(np.concatenate([t1, t2[t2 >= 0]]))
+    return _recheck_task_idx(plan, ts, args, kw, idx)
+
+
+def _recheck_task_idx(plan: TaskPlan, ts: TaskScores, args, kw, idx: np.ndarray) -> TaskScores:
+    RECHECK_STATS["tasks"] += len(idx)
     codes, quals, lens_by_row = args[0], args[1], args[2]
     redo = score_tasks_numpy(
         codes, quals, lens_by_row,

@@ -242,18 +242,51 @@ def run_savage(
     # --no_* skip flags, savage.py:58-63, 175-192)
     ckpt_root = os.path.join(cfg.output_dir, "checkpoints") if cfg.output_dir else None
 
+    # checkpoints are only valid for the exact (config, input) they were
+    # produced from: resuming after changing k/thresholds/reference/etc.
+    # would silently return stale contigs, so each checkpoint carries a
+    # fingerprint and a mismatch invalidates it (with a warning).
+    import hashlib
+
+    def _fingerprint() -> str:
+        h = hashlib.sha256()
+        h.update(repr(sorted(
+            (k, v) for k, v in vars(cfg).items()
+            if k not in ("resume", "verbose", "output_dir")
+        )).encode())
+        h.update(np.int64(len(store)).tobytes())
+        h.update(np.int64(store.readcount_single).tobytes())
+        for u in range(store.n_units):
+            h.update(store.unit_codes(u).tobytes())
+        return h.hexdigest()
+
+    fingerprint = _fingerprint() if ckpt_root else ""
+
     def ckpt_dir(name: str) -> Optional[str]:
         return os.path.join(ckpt_root, name) if ckpt_root else None
 
     def ckpt_exists(name: str) -> bool:
         d = ckpt_dir(name)
-        return bool(d) and os.path.exists(os.path.join(d, "singles.fastq"))
+        if not (d and os.path.exists(os.path.join(d, "singles.fastq"))):
+            return False
+        fp_file = os.path.join(d, "fingerprint.txt")
+        saved = open(fp_file).read().strip() if os.path.exists(fp_file) else ""
+        if saved != fingerprint:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint {name!r} was produced with different parameters "
+                "or inputs; ignoring it and recomputing")
+            return False
+        return True
 
     def ckpt_save(name: str, cstore: ReadStore, sub: Optional[SubreadDict]):
         if ckpt_root:
             from ..utils.checkpoint import save_state
 
             save_state(ckpt_dir(name), cstore, sub)
+            with open(os.path.join(ckpt_dir(name), "fingerprint.txt"), "w") as f:
+                f.write(fingerprint + "\n")
 
     def ckpt_load(name: str):
         from ..utils.checkpoint import load_state
@@ -334,25 +367,30 @@ def run_savage(
     # ---- stage c: master strains
     mc = cfg.merge_contigs
     sfo_mm_c = 1 + (0.99 - mc) / (mc + 0.01)
-    overlaps_c = contig_candidates(res_b.store, cfg.overlap_len_stage_c, sfo_mm_c, cfg.kmer_k)
-    params_c = StageParams(
-        stage="c",
-        min_overlap_len=cfg.overlap_len_stage_c,
-        edge_threshold=0.995,
-        merge_contigs=mc,
-        remove_branches=cfg.remove_branches,
-        min_read_len=cfg.contig_len_stage_c,
-        max_tip_len=max_tip_len,
-        first_it=not cfg.use_subreads,
-        original_readcount=_original_readcount(res_b.subreads),
-        backend=cfg.backend,
-        verbose=cfg.verbose,
-    )
-    res_c = run_stage(params_c, res_b.store, overlaps_c,
-                      res_b.subreads if cfg.use_subreads else None)
-    if cfg.filtering:
-        res_c = _freq_filter(res_c, store, avg_len, cfg.backend)
-    ckpt_save("stage_c", res_c.store, res_c.subreads)
+    if cfg.resume and ckpt_exists("stage_c"):
+        c_store, c_sub = ckpt_load("stage_c")
+        res_c = StageResult(store=c_store, subreads=c_sub,
+                            overlap_lines=[], iterations=0)
+    else:
+        overlaps_c = contig_candidates(res_b.store, cfg.overlap_len_stage_c, sfo_mm_c, cfg.kmer_k)
+        params_c = StageParams(
+            stage="c",
+            min_overlap_len=cfg.overlap_len_stage_c,
+            edge_threshold=0.995,
+            merge_contigs=mc,
+            remove_branches=cfg.remove_branches,
+            min_read_len=cfg.contig_len_stage_c,
+            max_tip_len=max_tip_len,
+            first_it=not cfg.use_subreads,
+            original_readcount=_original_readcount(res_b.subreads),
+            backend=cfg.backend,
+            verbose=cfg.verbose,
+        )
+        res_c = run_stage(params_c, res_b.store, overlaps_c,
+                          res_b.subreads if cfg.use_subreads else None)
+        if cfg.filtering:
+            res_c = _freq_filter(res_c, store, avg_len, cfg.backend)
+        ckpt_save("stage_c", res_c.store, res_c.subreads)
     result.stage_c = res_c
     result.frequencies["stage_c"] = _freqs(res_c.store, res_c.subreads, min_len=1000)
 

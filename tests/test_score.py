@@ -245,3 +245,72 @@ def test_pallas_kernel_wide_bucket():
     np.testing.assert_allclose(tp.sum_log, to.sum_log, rtol=1e-4, atol=1e-3)
     np.testing.assert_array_equal(tp.mismatches, to.mismatches)
     np.testing.assert_array_equal(tp.counted, to.counted)
+
+
+def test_combined_pe_score_recheck_near_threshold():
+    """The f64 recheck must also cover *combined* PE scores: two tasks each
+    far from the thresholds can average (0.5*(s1+s2)) to within f32 error of
+    ov_threshold; the decision must still be exact (reference compares in
+    C++ double, src/EdgeCalculator.cpp:254-379)."""
+    from haploconduct_tpu.io.overlaps import make_overlaps
+    from haploconduct_tpu.ops.verify import RECHECK_STATS
+    from haploconduct_tpu.ops.score import RECHECK_MARGIN
+
+    L, pos, ovlen = 60, 20, 40
+    base = ("ACGTTGCAACGGATCCTAGGATCCGGTTAACCGGATATCG" * 2)[:L]
+    x1 = base
+    y1 = base[pos:] + base[:pos]          # perfect 40bp overlap at shift 20
+    y2_mis = list(base[pos:] + base[:pos])
+    y2_mis[5] = "A" if y2_mis[5] != "A" else "C"  # one mismatch on trail end
+    y2 = "".join(y2_mis)
+    q = "I" * L
+    store = ReadStore()
+    store.add_paired(0, x1, q, base, q)
+    store.add_paired(1, y1, q, y2, q)
+    packed = store.pack()
+    ov = make_overlaps(
+        id1=np.array([0]), id2=np.array([1]),
+        pos1=np.array([pos]), pos2=np.array([pos]),
+        len1=np.array([ovlen]), len2=np.array([ovlen]),
+        perc1=np.array([100 * ovlen // L]), perc2=np.array([100 * ovlen // L]),
+    )
+    ov["type1"] = b"p"
+    ov["type2"] = b"p"
+    ov["ord"] = b"1"
+
+    # oracle per-task scores -> combined mean; both tasks must be far from it
+    plan, _ = plan_tasks(store, packed, ov)
+    lens = np.concatenate([packed.lens, packed.lens])
+    ts = score_tasks_numpy(packed.codes, packed.quals, lens,
+                           plan.row_first, plan.row_second, plan.pos)
+    s1, s2 = ts.score[plan.t1_of[0]], ts.score[plan.t2_of[0]]
+    combined = 0.5 * (s1 + s2)
+    assert abs(s1 - combined) > 2 * RECHECK_MARGIN
+    assert abs(s2 - combined) > 2 * RECHECK_MARGIN
+
+    # ov_threshold sits exactly on the combined f64 score; edge_threshold is
+    # far below both tasks so both_pass holds and the mean rule applies
+    for delta in (0.0, 1e-9, -1e-9, 5e-7, -5e-7):
+        kw = dict(edge_threshold=0.5, ov_threshold=float(combined + delta))
+        r64 = verify_overlaps(store, packed, ov, Settings(backend="numpy", **kw))
+        r32 = verify_overlaps(store, packed, ov,
+                              Settings(backend="jax", exact=True, **kw))
+        assert RECHECK_STATS["overlaps"] >= 1  # the combined recheck fired
+        np.testing.assert_array_equal(r64.nonedge_mask, r32.nonedge_mask)
+        np.testing.assert_array_equal(r64.scored["score"], r32.scored["score"])
+
+
+def test_mismatch_rate_exact_on_device_path():
+    """mismatch_rate on the jax path must equal the f64 oracle bit-for-bit
+    (recomputed from exact integer counts), so the merge_contigs comparison
+    can never be flipped by f32 rounding."""
+    rng = np.random.default_rng(11)
+    store, _ = build_random_store(rng, n_single=10, n_paired=6)
+    packed = store.pack()
+    ov = random_overlaps(rng, store, 150)
+    s64 = Settings(edge_threshold=0.5, ov_threshold=0.2, backend="numpy")
+    s32 = Settings(edge_threshold=0.5, ov_threshold=0.2, backend="jax", exact=True)
+    r64 = verify_overlaps(store, packed, ov, s64)
+    r32 = verify_overlaps(store, packed, ov, s32)
+    np.testing.assert_array_equal(r64.scored["mismatch_rate"],
+                                  r32.scored["mismatch_rate"])

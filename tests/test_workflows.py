@@ -30,8 +30,10 @@ def test_polyte_diploid_synthetic():
     res = run_polyte(store, cfg)
     assert res.store is not None and len(res.store) > 0
     lens = sorted((res.store.read_len(i) for i in range(len(res.store))), reverse=True)
-    # should assemble large haplotigs (much longer than the 150bp reads)
-    assert lens[0] > 450
+    # should assemble large haplotigs (much longer than the 150bp reads);
+    # the observed top contig is 598bp (was 600 before the _pack_keys
+    # 24-bit-shift fix changed a 2bp tie-break) — keep the bound tight
+    assert lens[0] >= 598
     # contigs must match one of the two haplotypes exactly (error-free reads)
     top = decode_seq(res.store.unit_codes(res.store.unit1[
         int(np.argmax([res.store.read_len(i) for i in range(len(res.store))]))]))
