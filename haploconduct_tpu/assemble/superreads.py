@@ -193,91 +193,132 @@ class SuperreadBuilder:
     # ------------------------------------------------ consensus (297-533)
     def consensus(self, total_len: int, pos_list, seq_list, qual_list,
                   error_correction: bool) -> Tuple[np.ndarray, np.ndarray, int]:
-        """Vectorized consensus; returns (codes, quals, trim_pos).
+        """Single-job wrapper over batch_consensus (one code path)."""
+        return self.batch_consensus(
+            [(total_len, pos_list, seq_list, qual_list, error_correction)])[0]
 
-        Empty codes + trim_pos -1 = not enough support; empty + trim 0 =
-        degenerate failure (gap / exhausted sequence), matching the
-        reference's return conventions.
+    def batch_consensus(self, jobs) -> List[Tuple[np.ndarray, np.ndarray, int]]:
+        """Consensus over MANY cliques at once via flat scatter-adds.
+
+        Each job is (total_len, pos_list, seq_list, qual_list,
+        error_correction); returns one (codes, quals, trim_pos) triple per
+        job. Empty codes + trim_pos -1 = not enough support; empty + trim 0
+        = degenerate failure (gap / exhausted sequence), matching the
+        reference's return conventions (SRBuilder.cpp:297-533).
+
+        The per-position Bayesian base call accumulates each member's
+        log10-likelihood contribution with np.bincount, whose sequential
+        accumulation order per output bin equals the member order the
+        reference uses — so results are bit-identical to the per-clique
+        loop it replaces.
         """
         min_support = self.s.min_clique_size
-        n = len(pos_list)
-        if error_correction:
-            if n < min_support:
-                return np.zeros(0, np.int8), np.zeros(0, np.uint8), -1
-            trim_pos = pos_list[min_support - 1]
-        else:
-            trim_pos = 0
+        results: List = [None] * len(jobs)
 
-        pos = np.asarray(pos_list, dtype=np.int64)
-        lens = np.array([len(sq) for sq in seq_list], dtype=np.int64)
-        starts = np.maximum(pos, trim_pos)  # effective emission start
-        ends = pos + lens
-        # find the stop position: first p >= max(pos) with support < min
-        # (mid-sequence dips before the last activation are tolerated)
-        if error_correction:
-            cover = np.zeros(total_len + 1, dtype=np.int64)
-            np.add.at(cover, np.minimum(starts, total_len), 1)
-            np.add.at(cover, np.minimum(ends, total_len), -1)
-            coverage = np.cumsum(cover[:-1])
-            last_activation = int(pos.max())
-            stop = total_len
-            for p in range(max(trim_pos, last_activation), total_len):
-                if coverage[p] < min_support:
-                    stop = p
-                    break
-        else:
-            stop = total_len
+        FAIL_SUPPORT = (np.zeros(0, np.int8), np.zeros(0, np.uint8), -1)
+        FAIL_DEGEN = (np.zeros(0, np.int8), np.zeros(0, np.uint8), 0)
 
-        # a sequence lying fully inside the trimmed prefix aborts the whole
-        # consensus: the reference hits `pos >= seq->length()` and returns
-        # failure (SRBuilder.cpp:478-481)
-        if error_correction and np.any((ends <= trim_pos) & (pos < trim_pos)):
-            return np.zeros(0, np.int8), np.zeros(0, np.uint8), 0
-
-        width = stop - trim_pos
-        if width <= 0:
-            return np.zeros(0, np.int8), np.zeros(0, np.uint8), trim_pos
-
-        # accumulate per-base log10 likelihoods over the window
-        scores = np.zeros((width, 4), dtype=np.float64)
-        counts = np.zeros(width, dtype=np.int64)  # incl. N's (minQual rule)
-        coverage_any = np.zeros(width, dtype=np.int64)  # active seqs
-        for sq, ql, p0 in zip(seq_list, qual_list, pos):
-            a = max(int(p0), trim_pos)
-            b = min(int(p0) + len(sq), stop)
-            if a >= b:
-                # sequence lies fully in a trimmed region: if it starts
-                # beyond stop it never contributes; if it ends before trim
-                # the reference would never have activated characters either
-                if int(p0) >= stop or int(p0) + len(sq) <= trim_pos:
+        # ---- pass 1 (per job, cheap ints): trim, stop, abort conditions
+        live: List[int] = []  # job index
+        trims: List[int] = []
+        stops: List[int] = []
+        for j, (total_len, pos_list, seq_list, qual_list, ec) in enumerate(jobs):
+            n = len(pos_list)
+            if ec:
+                if n < min_support:
+                    results[j] = FAIL_SUPPORT
                     continue
-            off = a - int(p0)
-            w = sq[off:off + (b - a)].astype(np.int64)
-            q = ql[off:off + (b - a)].astype(np.float64)
-            sl = slice(a - trim_pos, b - trim_pos)
-            coverage_any[sl] += 1
-            counts[sl] += 1
-            p_err = np.power(10.0, -q / 10.0)
-            with np.errstate(divide="ignore"):
-                # phred 0 => p_err == 1 => log10(0) = -inf, matching the
-                # reference's C++ double semantics (SRBuilder.cpp:297-402)
-                l_match = np.log10(1.0 - p_err)
-            l_mis = np.log10(p_err / 3.0)
-            valid = w < N_CODE
-            lm = np.where(valid, l_match, 0.0)
-            lx = np.where(valid, l_mis, 0.0)
-            for b_code in range(4):
-                is_b = w == b_code
-                scores[sl, b_code] += np.where(is_b, lm, lx)
+                trim_pos = int(pos_list[min_support - 1])
+            else:
+                trim_pos = 0
+            pos = np.asarray(pos_list, dtype=np.int64)
+            lens = np.fromiter((len(sq) for sq in seq_list), dtype=np.int64,
+                               count=n)
+            ends = pos + lens
+            if ec:
+                # a sequence lying fully inside the trimmed prefix aborts
+                # the whole consensus: the reference hits
+                # `pos >= seq->length()` and fails (SRBuilder.cpp:478-481)
+                if np.any((ends <= trim_pos) & (pos < trim_pos)):
+                    results[j] = FAIL_DEGEN
+                    continue
+                # stop = first p >= max(pos) with support < min_support
+                # (mid-sequence dips before the last activation tolerated)
+                starts = np.maximum(pos, trim_pos)
+                cover = np.zeros(total_len + 1, dtype=np.int64)
+                np.add.at(cover, np.minimum(starts, total_len), 1)
+                np.add.at(cover, np.minimum(ends, total_len), -1)
+                coverage = np.cumsum(cover[:-1])
+                scan_from = max(trim_pos, int(pos.max()) if n else 0)
+                low = np.flatnonzero(coverage[scan_from:total_len] < min_support)
+                stop = scan_from + int(low[0]) if len(low) else total_len
+            else:
+                stop = total_len
+            width = stop - trim_pos
+            if width <= 0:
+                results[j] = (np.zeros(0, np.int8), np.zeros(0, np.uint8), trim_pos)
+                continue
+            live.append(j)
+            trims.append(trim_pos)
+            stops.append(stop)
 
-        if np.any(coverage_any == 0):
-            # a position with no active sequence aborts the whole consensus
-            return np.zeros(0, np.int8), np.zeros(0, np.uint8), 0
+        if not live:
+            return results
 
-        # per-position base call
+        # ---- pass 2: one flat scatter over all live jobs' member windows
+        widths = np.array([stops[i] - trims[i] for i in range(len(live))], dtype=np.int64)
+        out_base = np.concatenate([[0], np.cumsum(widths)])
+        W_total = int(out_base[-1])
+
+        gpos_parts: List[np.ndarray] = []
+        code_parts: List[np.ndarray] = []
+        qual_parts: List[np.ndarray] = []
+        for i, j in enumerate(live):
+            total_len, pos_list, seq_list, qual_list, ec = jobs[j]
+            trim_pos, stop = trims[i], stops[i]
+            base = int(out_base[i])
+            for sq, ql, p0 in zip(seq_list, qual_list, pos_list):
+                a = max(int(p0), trim_pos)
+                b = min(int(p0) + len(sq), stop)
+                if a >= b:
+                    continue
+                off = a - int(p0)
+                code_parts.append(sq[off:off + (b - a)])
+                qual_parts.append(ql[off:off + (b - a)])
+                gpos_parts.append(np.arange(base + a - trim_pos,
+                                            base + b - trim_pos, dtype=np.int64))
+        if gpos_parts:
+            gpos = np.concatenate(gpos_parts)
+            w = np.concatenate(code_parts).astype(np.int64)
+            q = np.concatenate(qual_parts).astype(np.int64)
+        else:
+            gpos = np.zeros(0, np.int64)
+            w = np.zeros(0, np.int64)
+            q = np.zeros(0, np.int64)
+
+        # phred -> log10 likelihood lookup tables (exact same doubles as
+        # computing per element; phred 0 => p_err == 1 => log10(0) = -inf,
+        # matching the reference's C++ double semantics)
+        qv = np.arange(94, dtype=np.float64)
+        p_err_lut = np.power(10.0, -qv / 10.0)
+        with np.errstate(divide="ignore"):
+            l_match_lut = np.log10(1.0 - p_err_lut)
+        l_mis_lut = np.log10(p_err_lut / 3.0)
+
+        valid = w < N_CODE
+        lm = np.where(valid, l_match_lut[np.minimum(q, 93)], 0.0)
+        lx = np.where(valid, l_mis_lut[np.minimum(q, 93)], 0.0)
+
+        scores = np.empty((W_total, 4), dtype=np.float64)
+        for b_code in range(4):
+            contrib = np.where(w == b_code, lm, lx)
+            scores[:, b_code] = np.bincount(gpos, weights=contrib, minlength=W_total)
+        counts = np.bincount(gpos, minlength=W_total)  # incl. N's (minQual rule)
+
+        # ---- per-position base call over the whole flat buffer
         # tie-break priority A, T, C, G (consensus_pos:390-393)
         prio = np.array([0, 3, 1, 2])  # column order A,T,C,G
-        reordered = scores[:, prio]  # columns: A,T,C,G in priority order
+        reordered = scores[:, prio]
         max_score = reordered.max(axis=1)
         first_max = np.argmax(reordered == max_score[:, None], axis=1)
         call = prio[first_max]  # back to code space
@@ -298,9 +339,18 @@ class SuperreadBuilder:
         phred = np.where(p_incorrect < 10.0 ** (-9.3), 93, phred)
         phred = np.clip(phred, 0, 93).astype(np.uint8)
 
-        codes = np.where(n_mask, N_CODE, call).astype(np.int8)
-        quals = np.where(n_mask, N_QUAL, phred).astype(np.uint8)
-        return codes, quals, trim_pos
+        codes_all = np.where(n_mask, N_CODE, call).astype(np.int8)
+        quals_all = np.where(n_mask, N_QUAL, phred).astype(np.uint8)
+
+        # ---- split back per job; a position with no active sequence
+        # aborts that job's whole consensus
+        for i, j in enumerate(live):
+            lo, hi = int(out_base[i]), int(out_base[i + 1])
+            if np.any(counts[lo:hi] == 0):
+                results[j] = FAIL_DEGEN
+            else:
+                results[j] = (codes_all[lo:hi].copy(), quals_all[lo:hi].copy(), trims[i])
+        return results
 
     # -------------------------------------------- calcSubreadInfo (536-595)
     def calc_subread_info(self, trim1, trim2, pos_list1, pos_list2,
@@ -351,10 +401,13 @@ class SuperreadBuilder:
         return new_pos, new_seq, new_qual
 
     # --------------------------------------- constructSuperread (654-870)
-    def construct_superread(self, clique: List[int]) -> Superread:
+    def prepare_superread(self, clique: List[int]):
+        """sort_vertices + subread filtering for one clique; returns
+        (prep_state, consensus_jobs) so many cliques' consensus can be
+        batched (the jobs list has 1 entry for single SRs, 2 for paired)."""
         assert len(clique) > 1
         clique = sorted(clique)
-        store, g, s = self.store, self.g, self.s
+        store, s = self.store, self.s
         sr_type = "p"
         base_node = clique[0]
         for node in clique:
@@ -372,18 +425,26 @@ class SuperreadBuilder:
         mcs = s.min_clique_size
         if len(clique) > 3 * mcs:
             f1 = self.filter_subreads(2 * mcs, base_node, sorted1, pos1, seqs1, quals1)
-            cons1, q1, trim1 = self.consensus(len1, *f1, s.error_correction)
+            jobs = [(len1, *f1, s.error_correction)]
             if sr_type == "p":
                 f2 = self.filter_subreads(2 * mcs, base_node, sorted2, pos2, seqs2, quals2)
-                cons2, q2, trim2 = self.consensus(len2, *f2, s.error_correction)
-            else:
-                cons2, q2, trim2 = np.zeros(0, np.int8), np.zeros(0, np.uint8), -1
+                jobs.append((len2, *f2, s.error_correction))
         else:
-            cons1, q1, trim1 = self.consensus(len1, pos1, seqs1, quals1, s.error_correction)
+            jobs = [(len1, pos1, seqs1, quals1, s.error_correction)]
             if sr_type == "p":
-                cons2, q2, trim2 = self.consensus(len2, pos2, seqs2, quals2, s.error_correction)
-            else:
-                cons2, q2, trim2 = np.zeros(0, np.int8), np.zeros(0, np.uint8), -1
+                jobs.append((len2, pos2, seqs2, quals2, s.error_correction))
+        prep = (clique, sr_type, len2, pos1, pos2, sorted1, sorted2)
+        return prep, jobs
+
+    def finish_superread(self, prep, results) -> Superread:
+        """Build the Superread from batched consensus results."""
+        clique, sr_type, len2, pos1, pos2, sorted1, sorted2 = prep
+        store, g, s = self.store, self.g, self.s
+        cons1, q1, trim1 = results[0]
+        if sr_type == "p":
+            cons2, q2, trim2 = results[1]
+        else:
+            cons2, q2, trim2 = np.zeros(0, np.int8), np.zeros(0, np.uint8), -1
 
         sub_map = self.calc_subread_info(trim1, trim2, pos1, pos2, sorted1, sorted2)
 
@@ -434,6 +495,10 @@ class SuperreadBuilder:
             return Superread(True, cons1, q1, cons2, q2, sorted1, sorted2, sub_map, originals)
         return Superread(False, cons1, q1, np.zeros(0, np.int8), np.zeros(0, np.uint8),
                          sorted1, [], sub_map, originals)
+
+    def construct_superread(self, clique: List[int]) -> Superread:
+        prep, jobs = self.prepare_superread(clique)
+        return self.finish_superread(prep, self.batch_consensus(jobs))
 
     # ------------------------------------------ merge_self_overlap (872-955)
     def merge_self_overlap(self, sr: Superread) -> Superread:
@@ -494,8 +559,20 @@ class SuperreadBuilder:
     # ------------------------------------------- process_cliques (958-1029)
     def process_cliques(self, cliques: List[List[int]]) -> int:
         n_before = len(self.single_SR) + len(self.paired_SR)
+        # prepare every clique, run ONE batched consensus over all their
+        # jobs (the reference's per-clique OpenMP loop, SRBuilder.cpp:972-
+        # 1012, vectorized across cliques), then finish each superread
+        preps = []
+        all_jobs = []
+        job_of: List[Tuple[int, int]] = []  # (start, count) per clique
         for clique in cliques:
-            sr = self.construct_superread(clique)
+            prep, jobs = self.prepare_superread(clique)
+            preps.append(prep)
+            job_of.append((len(all_jobs), len(jobs)))
+            all_jobs.extend(jobs)
+        all_results = self.batch_consensus(all_jobs)
+        for prep, (start, count) in zip(preps, job_of):
+            sr = self.finish_superread(prep, all_results[start:start + count])
             if sr.is_paired:
                 if len(sr.seq1) and len(sr.seq2):
                     merged = self.merge_self_overlap(sr)

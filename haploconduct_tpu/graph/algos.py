@@ -58,6 +58,47 @@ def random_shuffle(seq: list, rng: GlibcRand) -> None:
         seq[i], seq[j] = seq[j], seq[i]
 
 
+class ShufflePerms:
+    """Cached std::random_shuffle permutations for a fresh srand(seed).
+
+    The reference re-seeds srand(seed) before every per-node shuffle
+    (GraphAlgos.cpp:273), so the permutation applied to a list depends only
+    on (seed, len). Simulating the 344-step glibc seeding per BFS node is
+    a Python-loop hotspot; instead compute each (seed, len) permutation
+    once and reuse it."""
+
+    def __init__(self, seed: int):
+        self._rng = GlibcRand(seed)
+        self._rands: List[int] = []
+        self._perms: dict = {0: [], 1: [0]}
+
+    def perm(self, n: int) -> List[int]:
+        p = self._perms.get(n)
+        if p is None:
+            while len(self._rands) < n - 1:
+                self._rands.append(self._rng.rand())
+            p = list(range(n))
+            for i in range(1, n):
+                j = self._rands[i - 1] % (i + 1)
+                p[i], p[j] = p[j], p[i]
+            self._perms[n] = p
+        return p
+
+    def shuffle(self, seq: list) -> list:
+        return [seq[i] for i in self.perm(len(seq))]
+
+
+_shuffle_cache: dict = {}
+
+
+def shuffle_fresh_seed(seq: list, seed: int) -> list:
+    """random_shuffle(seq) as if preceded by srand(seed), via the cache."""
+    sp = _shuffle_cache.get(seed)
+    if sp is None:
+        sp = _shuffle_cache[seed] = ShufflePerms(seed)
+    return sp.shuffle(seq)
+
+
 # --------------------------------------------------------------------------
 # Vertex orientation labelling (GraphAlgos.cpp:178-349)
 # --------------------------------------------------------------------------
@@ -88,8 +129,8 @@ def _label_vertices(g: OverlapGraph, rand_seed: int):
             node = bfs.popleft()
             adj_vec = [int(rows["v1"][e]) for e in g.adj_in[node]]
             adj_vec += [int(rows["v2"][e]) for e in g.adj_out[node]]
-            rng = GlibcRand(rand_seed)  # reference re-seeds per node
-            random_shuffle(adj_vec, rng)
+            # reference re-seeds srand(rand_seed) per node -> cached perm
+            adj_vec = shuffle_fresh_seed(adj_vec, rand_seed)
             for nb in adj_vec:
                 if not visited[nb]:
                     bfs.append(nb)
@@ -197,20 +238,19 @@ def vertex_labelling_heuristic(g: OverlapGraph) -> int:
 # --------------------------------------------------------------------------
 
 def remove_inclusions(g: OverlapGraph) -> None:
-    edges_to_remove: Set[Tuple[int, int]] = set()
+    ids_to_remove: Set[int] = set()
     rows = g.edges
     for v in np.flatnonzero(g.inclusions):
         v = int(v)
         edge_vec: List[np.void] = []
         for e in g.adj_out[v]:
-            edges_to_remove.add((v, int(rows["v2"][e])))
+            ids_to_remove.add(e)
             edge_vec.append(rows[e].copy())
         for e in g.adj_in[v]:
-            edges_to_remove.add((int(rows["v1"][e]), v))
+            ids_to_remove.add(e)
             edge_vec.append(rows[e].copy())
         g.inclusion_edges.append(edge_vec)
-    for v, w in sorted(edges_to_remove):
-        g.remove_edge(v, w)
+    g.remove_edge_ids(ids_to_remove)
 
 
 # --------------------------------------------------------------------------
@@ -269,11 +309,7 @@ def remove_transitive_edges(g: OverlapGraph) -> None:
                 if int(len0[e_in]) <= ovlen:
                     to_delete.add((int(rows["v1"][e_in]), n2))
 
-    for k in np.flatnonzero(trans):
-        e = alive_idx[k]
-        g.adj_out[int(rows["v1"][e])].remove(e)
-        g.adj_in[int(rows["v2"][e])].remove(e)
-        g.alive[e] = False
+    g.remove_edge_ids(alive_idx[trans])
     for v, w in sorted(to_delete):
         if g.check_edge(v, w, reverse_allowed=False) >= 0:
             g.remove_edge(v, w)
@@ -399,9 +435,7 @@ def _sorted_out_neighbors(g: OverlapGraph, node: int, randomize: int) -> List[in
                        key=lambda t: (t[1], t[0]))
         return [v for v, _ in pairs]
     neighbors = [int(rows["v2"][e]) for e in adj]
-    rng = GlibcRand(randomize)
-    random_shuffle(neighbors, rng)
-    return neighbors
+    return shuffle_fresh_seed(neighbors, randomize)
 
 
 def find_cycles(g: OverlapGraph, randomize: int) -> Set[Tuple[int, int]]:

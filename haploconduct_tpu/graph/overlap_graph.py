@@ -123,9 +123,20 @@ class OverlapGraph:
         self.edges = np.concatenate([self.edges, rows]) if start else rows.copy()
         self.alive = np.concatenate([self.alive, np.ones(len(rows), dtype=bool)])
         idx = np.arange(start, start + len(rows))
-        for i, r in zip(idx, rows):
-            self.adj_out[int(r["v1"])].append(int(i))
-            self.adj_in[int(r["v2"])].append(int(i))
+        if len(rows) <= 8:
+            for i, r in zip(idx, rows):
+                self.adj_out[int(r["v1"])].append(int(i))
+                self.adj_in[int(r["v2"])].append(int(i))
+            return idx
+        # bulk: group new edge ids by endpoint (stable => input order kept)
+        for col, adj in (("v1", self.adj_out), ("v2", self.adj_in)):
+            vv = rows[col].astype(np.int64)
+            order = np.argsort(vv, kind="stable")
+            sv = vv[order]
+            cuts = np.flatnonzero(np.diff(sv)) + 1
+            for grp, ids in zip(sv[np.concatenate([[0], cuts])] if len(sv) else [],
+                                np.split(idx[order], cuts)):
+                adj[int(grp)].extend(ids.tolist())
         return idx
 
     def add_edge(self, row: np.void) -> int:
@@ -145,12 +156,40 @@ class OverlapGraph:
                 return self.edges[e].copy()
         raise KeyError(f"edge to be removed not found: {v} -> {w}")
 
+    def remove_edge_ids(self, ids) -> None:
+        """Bulk-remove edges by id; touched adjacency lists are filtered
+        once (preserving order) instead of per-edge list.remove scans."""
+        id_set = {int(e) for e in ids}
+        if not id_set:
+            return
+        arr = np.fromiter(id_set, dtype=np.int64, count=len(id_set))
+        touched_out = np.unique(self.edges["v1"][arr])
+        touched_in = np.unique(self.edges["v2"][arr])
+        self.alive[arr] = False
+        for v in touched_out:
+            self.adj_out[int(v)] = [e for e in self.adj_out[int(v)] if e not in id_set]
+        for w in touched_in:
+            self.adj_in[int(w)] = [e for e in self.adj_in[int(w)] if e not in id_set]
+
     def remove_edges_bulk(self, pairs, collect_branching: bool = False) -> None:
         """Remove a set of (v, w) edges; order-insensitive."""
+        rows = self.edges
+        ids: List[int] = []
+        used: set = set()
         for v, w in pairs:
-            edge = self.remove_edge(int(v), int(w))
-            if collect_branching:
-                self.branching_edges.append(edge)
+            v, w = int(v), int(w)
+            e_found = -1
+            for e in self.adj_out[v]:
+                if e not in used and int(rows["v2"][e]) == w:
+                    e_found = e
+                    break
+            if e_found < 0:
+                raise KeyError(f"edge to be removed not found: {v} -> {w}")
+            used.add(e_found)
+            ids.append(e_found)
+        if collect_branching:
+            self.branching_edges.extend(rows[e].copy() for e in ids)
+        self.remove_edge_ids(ids)
 
     def check_edge(self, v: int, w: int, reverse_allowed: bool = True) -> float:
         """Score of edge v->w (or w->v if allowed), else -1 (checkEdge)."""
@@ -215,22 +254,38 @@ class OverlapGraph:
 
     def sort_edges(self) -> None:
         """Sort each adjacency list by (non-overlap length, v2) and rebuild
-        adj_in in v1-major order (src/OverlapGraph.cpp:723-765)."""
+        adj_in in v1-major order (src/OverlapGraph.cpp:723-765).
+
+        One flat lexsort over all alive edges: primary key = owning vertex,
+        then (nol, v2), final tie key = current position in the list (the
+        reference's std::list::sort is stable)."""
         rows = self.edges
+        counts = np.fromiter((len(self.adj_out[v]) for v in range(self.n)),
+                             dtype=np.int64, count=self.n)
+        total = int(counts.sum())
+        if total == 0:
+            self.adj_in = [[] for _ in range(self.n)]
+            return
+        flat = np.fromiter((e for lst in self.adj_out for e in lst),
+                           dtype=np.int64, count=total)
+        v1_of = np.repeat(np.arange(self.n, dtype=np.int64), counts)
+        pos_in = np.arange(total, dtype=np.int64)  # global, but per-v ascending
         read_lens = np.array([self.store.read_len(i) for i in range(len(self.store))], dtype=np.int64)
-        nol_all = (
-            read_lens[rows["v1"]] + read_lens[rows["v2"]]
-            - 2 * (rows["len1"].astype(np.int64) + rows["len2"].astype(np.int64))
-        ) if len(rows) else np.zeros(0, dtype=np.int64)
-        for v in range(self.n):
-            lst = self.adj_out[v]
-            if len(lst) > 1:
-                lst.sort(key=lambda e: (nol_all[e], rows["v2"][e]))
-        new_adj_in: List[List[int]] = [[] for _ in range(self.n)]
-        for v in range(self.n):
-            for e in self.adj_out[v]:
-                new_adj_in[int(rows["v2"][e])].append(e)
-        self.adj_in = new_adj_in
+        v2_of = rows["v2"][flat].astype(np.int64)
+        nol = (
+            read_lens[rows["v1"][flat]] + read_lens[v2_of]
+            - 2 * (rows["len1"][flat].astype(np.int64) + rows["len2"][flat].astype(np.int64))
+        )
+        order = np.lexsort((pos_in, v2_of, nol, v1_of))
+        flat_sorted = flat[order]
+        cuts = np.cumsum(counts)[:-1]
+        self.adj_out = [ids.tolist() for ids in np.split(flat_sorted, cuts)]
+        # adj_in[w] in v1-major traversal order of the new adj_out
+        v2_sorted = v2_of[order]
+        in_order = np.lexsort((np.arange(total, dtype=np.int64), v2_sorted))
+        in_counts = np.bincount(v2_sorted, minlength=self.n)
+        in_cuts = np.cumsum(in_counts)[:-1]
+        self.adj_in = [ids.tolist() for ids in np.split(flat_sorted[in_order], in_cuts)]
 
     def sort_adj_out_by_target(self) -> None:
         """Sort adj_out lists by out-neighbor id (sortAdjOut)."""
