@@ -59,27 +59,31 @@ def bench_device(packed, lens, row_a, row_b, pos, repeats: int = 20):
     from haploconduct_tpu.ops import pallas_score as P
 
     combined = P.pack_for_pallas(packed.codes, packed.quals)
-    w = combined.shape[1] // 2
     b = len(row_a)
     L = np.minimum(lens[row_a].astype(np.int64) - pos, lens[row_b]).astype(np.int64)
-    rows_packed = ((row_a.astype(np.int64) << 16) | row_b).astype(np.int32)
-    posl_packed = ((pos.astype(np.int64) << 16)
-                   | np.maximum(np.minimum(L, 0xFFFF), 0)).astype(np.int32)
-    kernel = P._build_kernel(w, 0.0)
+    s_rows, s_posa, s_bolen, _ = P.segment_tasks(
+        row_a.astype(np.int64), row_b.astype(np.int64), pos.astype(np.int64), L)
+    pad = (-len(s_rows)) % P.TB
+    if pad:
+        z = np.zeros(pad, np.int32)
+        s_rows = np.concatenate([s_rows, z])
+        s_posa = np.concatenate([s_posa, z])
+        s_bolen = np.concatenate([s_bolen, z])
+    kernel = P._build_kernel(0.0)
 
     @jax.jit
-    def repeat_run(cd, rp, pp):
+    def repeat_run(cd, rp, pp, bp):
         def body(i, acc):
-            out = kernel(cd, jnp.roll(rp, i), jnp.roll(pp, i))
+            out = kernel(cd, jnp.roll(rp, i), jnp.roll(pp, i), jnp.roll(bp, i))
             return acc + jnp.sum(out[0])
 
         return jax.lax.fori_loop(0, repeats, body, jnp.float32(0))
 
     cd = jnp.asarray(combined)
-    rp, pp = jnp.asarray(rows_packed), jnp.asarray(posl_packed)
-    float(repeat_run(cd, rp, pp))  # compile + warmup
+    rp, pp, bp = jnp.asarray(s_rows), jnp.asarray(s_posa), jnp.asarray(s_bolen)
+    float(repeat_run(cd, rp, pp, bp))  # compile + warmup
     t0 = time.perf_counter()
-    float(repeat_run(cd, rp, pp))
+    float(repeat_run(cd, rp, pp, bp))
     dt = time.perf_counter() - t0
     return b * repeats / dt
 

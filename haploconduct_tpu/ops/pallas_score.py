@@ -3,20 +3,29 @@
 The XLA formulation of the scoring kernel (ops/score.py) is crippled on
 TPU by the per-task shifted-window gather (take_along_axis lowers to a
 scalar gather). This kernel keeps the packed read matrices resident in
-VMEM (R x 2W int8) and aligns each task's window with aligned vector loads
-plus a dynamic lane rotate, then scores 8 tasks per grid step with pure
-VPU math:
+VMEM (R x RW int16) and aligns each task's window with aligned vector
+loads plus a dynamic lane rotate, then scores 8 tasks per grid step with
+pure VPU math:
 
   per position: p1,p2 = 10^(-q/10);  p = match ? (1-p1)(1-p2)+p1p2/3
                 : (p1(1-p2)+p2(1-p1))/3 + 2/9 p1p2  (EdgeCalculator.cpp:26-56)
   score = exp(mean log p) over counted (non-N, in-window) positions.
 
+Length scaling (SURVEY hard-part #2): instead of per-width kernel
+variants padded to power-of-two row widths, every task is decomposed on
+host into fixed SEG=512-lane *segments* — subtask k compares
+a[pos+k*SEG :] against b[k*SEG :] over min(SEG, L-k*SEG) lanes — and the
+per-segment (sum_log, counted, mismatches, rejected) integers/floats are
+summed back per task. One compiled kernel serves every stage (150bp reads
+through kb-scale contigs), row widths need only be multiples of 128, and
+per-step VMEM scales with SEG, not the longest contig.
+
 Mosaic constraints discovered empirically on this toolchain (v5e):
 - vector loads need dim-0 indices provably multiple of 8 and lane starts
-  multiple of 128 -> load (8, W+128) tiles at aligned offsets and fix the
-  residual shift d = pos % 128 with pltpu.roll;
+  multiple of 128 -> load (8, SEG+128) tiles at aligned offsets and fix
+  the residual shift d = pos % 128 with pltpu.roll;
 - dynamic lane rotates are only correct on power-of-2 widths -> roll a
-  (8, 2W) scratch (2W = 1024 for the W=512 bucket);
+  (8, 1024) scratch;
 - rolling a dynamically-offset load directly mis-composes -> materialize
   the load into scratch first;
 - uint8 -> f32 casts are unsupported -> qualities travel as int8;
@@ -25,71 +34,60 @@ Mosaic constraints discovered empirically on this toolchain (v5e):
   int16 word (code | qual<<3, 9 bits used) -> ONE vector load + roll +
   sublane select per task side instead of two.
 
-Falls back to the XLA path off-TPU or when the packed matrices exceed the
-VMEM budget (large-contig iterations, where batches are small anyway).
+Falls back to the XLA path off-TPU or when the packed matrix exceeds the
+VMEM budget (handled upstream by verify_overlaps via pallas_supported).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 
 from ..core.reads import N_CODE, PAD_CODE
 
-GROUP = 8  # tasks per gather sub-group (one aligned 8-row scratch write)
-CHUNK = 65536  # tasks per pallas_call (SMEM scalar budget: 2 arrays x 256KB)
+GROUP = 8        # tasks per gather sub-group (one aligned 8-row scratch write)
+SEG = 512        # compare lanes per subtask (segment)
+LOADW = SEG + 128  # A-side aligned load covers any 128-aligned window start
+ROLLW = 1024     # power-of-two roll width >= LOADW
+TB = 256         # subtasks per grid step
+CHUNK = 32768    # subtasks per pallas_call (SMEM budget: 3 arrays x 128KB)
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # of the ~16MB scoped-vmem limit
 
 
-def _tb_for_width(width: int) -> int:
-    """Tasks per grid step. Scoped VMEM spent per step scales as TB*W:
-    2 gather-scratch buffers PLUS ~3 live (TB, W) vector temporaries of
-    the scoring math that Mosaic allocates on the vmem stack (measured:
-    W=4096 TB=256 -> 25.7MB; W=4096 TB=96 -> fits; W=8192 TB=48 ->
-    16.6MB, i.e. ~4.6 x TB*W*4 + input). Shrink TB as the width bucket
-    grows; wide buckets have large per-row loads so small TB still
-    amortizes the per-step DMA."""
-    tb = min(32 * GROUP, (128 * 1024) // width)
-    return max(GROUP, (tb // GROUP) * GROUP)
+def _row_width(w: int) -> int:
+    """Packed row width for a longest-unit length w: multiple of 128 with
+    LOADW slack so any in-bounds A-side aligned load stays in-bounds."""
+    return ((w + 127) // 128) * 128 + LOADW
 
 
 def _vmem_estimate(rows: int, width: int) -> int:
-    """Scoped-VMEM bytes the kernel needs for an (rows, 2*width) packed
-    matrix: input + 5x TB*W*4 (2 gather scratch + ~3 live math temps,
-    measured multiplier ~4.6) + roll staging + ~1.5MB slack for outputs
-    and alignment."""
-    tb = _tb_for_width(width)
-    inp = rows * 2 * width * 2             # int16 combined matrix
-    step = 5 * tb * width * 4              # gather scratch + live temps
-    stage = GROUP * 2 * width * 4          # sa_scr int32
+    """Scoped-VMEM bytes for an (rows, _row_width(width)) int16 matrix:
+    input + ~5x TB*SEG*4 (2 gather scratch + ~3 live math temps, measured
+    multiplier ~4.6) + roll staging + slack for outputs and alignment."""
+    inp = rows * _row_width(width) * 2
+    step = 5 * TB * SEG * 4
+    stage = GROUP * ROLLW * 4
     return inp + step + stage + (3 << 19)
 
 
-@functools.lru_cache(maxsize=32)
-def _build_kernel(width: int, mismatch_thresh: float):
+@functools.lru_cache(maxsize=8)
+def _build_kernel(mismatch_thresh: float, resident: bool = True):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    W = width          # power of two (>=256)
-    LOADW = W + 128    # covers any 128-aligned window start
-    ROLLW = 2 * W      # power-of-two roll width
-    assert W & (W - 1) == 0 and W >= 256
     LOG10_OVER_10 = float(np.log(10.0) / 10.0)
 
-    TB = _tb_for_width(W)  # tasks per grid step (amortizes per-step DMA)
-
-    def kernel(rows_ref, posl_ref,                  # scalar prefetch (B,) SMEM
-               comb_ref,                            # VMEM (R, 2W) int16, full
+    def kernel(rows_ref, posa_ref, bolen_ref,        # scalar prefetch (B,) SMEM
+               comb_ref,                             # VMEM (R, RW) int16, full
                sumlog_ref, counted_ref, mism_ref, rej_ref,  # (TB, 1)
                sa_scr, ga_scr, gb_scr, l_scr):
-        # sa_scr: (GROUP, ROLLW) roll staging; ga/gb: (TB, W) gathered task
-        # windows (combined code|qual<<3 words); l_scr: (TB, 1) bounds
+        # sa_scr: (GROUP, ROLLW) roll staging; ga/gb: (TB, SEG) gathered
+        # segment windows (combined code|qual<<3 words); l_scr: (TB, 1)
         base = pl.program_id(0) * TB
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, W), 0)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, SEG), 0)
 
         def gather_group(g, _):
             # statically-unrolled 8 tasks; their rows are concatenated and
@@ -100,27 +98,29 @@ def _build_kernel(width: int, mismatch_thresh: float):
             l_vals = []
             for t in range(GROUP):
                 packed_rows = rows_ref[base + g8 + t]
-                packed_posl = posl_ref[base + g8 + t]
+                pa = posa_ref[base + g8 + t]          # pos + k*SEG (A side)
+                bl = bolen_ref[base + g8 + t]         # (k*SEG << 10) | seg_len
                 row_a = packed_rows >> 16
                 row_b = packed_rows & 0xFFFF
-                p = packed_posl >> 16
-                lt = packed_posl & 0xFFFF
+                bo = pl.multiple_of((bl >> 10) << 9, 128)  # k*SEG, 128-aligned
+                lt = bl & 1023
                 r8a = pl.multiple_of((row_a >> 3) << 3, 8)
                 sub_a = row_a & 7
                 r8b = pl.multiple_of((row_b >> 3) << 3, 8)
                 sub_b = row_b & 7
-                p128 = pl.multiple_of((p >> 7) << 7, 128)
-                d = p & 127
+                p128 = pl.multiple_of((pa >> 7) << 7, 128)
+                d = pa & 127
 
                 sa_scr[:, :LOADW] = comb_ref[pl.ds(r8a, 8),
                                              pl.ds(p128, LOADW)].astype(jnp.int32)
-                # after a left-rotate by d (< 128), lanes [0, W) read from
-                # [d, W+d) which stays inside the initialized LOADW region
-                rolled = pltpu.roll(sa_scr[:, :], -d, 1)[:, :W]
+                # after a left-rotate by d (< 128), lanes [0, SEG) read from
+                # [d, SEG+d) which stays inside the initialized LOADW region
+                rolled = pltpu.roll(sa_scr[:, :], -d, 1)[:, :SEG]
                 a_rows.append(jnp.sum(jnp.where(sub_iota == sub_a, rolled, 0),
                                       axis=0, keepdims=True))
 
-                combined_b = comb_ref[pl.ds(r8b, 8), :W].astype(jnp.int32)
+                combined_b = comb_ref[pl.ds(r8b, 8),
+                                      pl.ds(bo, SEG)].astype(jnp.int32)
                 b_rows.append(jnp.sum(jnp.where(sub_iota == sub_b, combined_b, 0),
                                       axis=0, keepdims=True))
                 l_vals.append(jnp.full((1, 1), lt, jnp.int32))
@@ -138,7 +138,7 @@ def _build_kernel(width: int, mismatch_thresh: float):
         qa_v = a_w >> 3
         b = b_w & 7
         qb_v = b_w >> 3
-        col = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (TB, SEG), 1)
         valid = col < l_scr[:, :]
         either_n = (a >= N_CODE) | (b >= N_CODE)
         cm = valid & jnp.logical_not(either_n)
@@ -160,30 +160,166 @@ def _build_kernel(width: int, mismatch_thresh: float):
         mism_ref[:, 0] = mism
         rej_ref[:, 0] = rejected
 
-    def run(combined2w, rows_packed, posl_packed):
+    def kernel_hbm(rows_ref, posa_ref, bolen_ref,   # scalar prefetch (B,) SMEM
+                   comb_ref,                        # ANY/HBM (R, RW) int16
+                   sumlog_ref, counted_ref, mism_ref, rej_ref,  # (TB, 1)
+                   a_buf, b_buf, ga_scr, gb_scr, l_scr, sems):
+        # Matrix too large for VMEM: per-task (8, LOADW)/(8, SEG) row tiles
+        # are DMA'd HBM->VMEM, double-buffered across GROUP-sized batches.
+        # a_buf: (2, GROUP, 8, ROLLW) int16 (A tiles land in [:, :LOADW]);
+        # b_buf: (2, GROUP, 8, SEG) int16; sems: (2, GROUP, 2) DMA sems.
+        base = pl.program_id(0) * TB
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, SEG), 0)
+        n_groups = TB // GROUP
+
+        def start_group(g, slot):
+            g8 = g * GROUP
+
+            def start_one(t, _):
+                packed_rows = rows_ref[base + g8 + t]
+                pa = posa_ref[base + g8 + t]
+                bl = bolen_ref[base + g8 + t]
+                row_a = packed_rows >> 16
+                row_b = packed_rows & 0xFFFF
+                bo = pl.multiple_of((bl >> 10) << 9, 128)
+                r8a = pl.multiple_of((row_a >> 3) << 3, 8)
+                r8b = pl.multiple_of((row_b >> 3) << 3, 8)
+                p128 = pl.multiple_of((pa >> 7) << 7, 128)
+                pltpu.make_async_copy(
+                    comb_ref.at[pl.ds(r8a, 8), pl.ds(p128, LOADW)],
+                    a_buf.at[slot, t, :, :LOADW],
+                    sems.at[slot, t, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    comb_ref.at[pl.ds(r8b, 8), pl.ds(bo, SEG)],
+                    b_buf.at[slot, t],
+                    sems.at[slot, t, 1],
+                ).start()
+                return 0
+
+            jax.lax.fori_loop(0, GROUP, start_one, 0, unroll=True)
+
+        def wait_group(slot):
+            def wait_one(t, _):
+                pltpu.make_async_copy(
+                    comb_ref.at[pl.ds(0, 8), pl.ds(0, LOADW)],
+                    a_buf.at[slot, t, :, :LOADW],
+                    sems.at[slot, t, 0],
+                ).wait()
+                pltpu.make_async_copy(
+                    comb_ref.at[pl.ds(0, 8), pl.ds(0, SEG)],
+                    b_buf.at[slot, t],
+                    sems.at[slot, t, 1],
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, GROUP, wait_one, 0, unroll=True)
+
+        start_group(0, 0)
+
+        def process_group(g, _):
+            slot = jax.lax.rem(g, 2)
+
+            @pl.when(g + 1 < n_groups)
+            def _():
+                start_group(g + 1, jax.lax.rem(g + 1, 2))
+
+            wait_group(slot)
+            g8 = pl.multiple_of(g * GROUP, 8)
+            a_rows = []
+            b_rows = []
+            l_vals = []
+            for t in range(GROUP):
+                packed_rows = rows_ref[base + g8 + t]
+                pa = posa_ref[base + g8 + t]
+                bl = bolen_ref[base + g8 + t]
+                row_a = packed_rows >> 16
+                row_b = packed_rows & 0xFFFF
+                lt = bl & 1023
+                sub_a = row_a & 7
+                sub_b = row_b & 7
+                d = pa & 127
+                rolled = pltpu.roll(
+                    a_buf[slot, t].astype(jnp.int32), -d, 1)[:, :SEG]
+                a_rows.append(jnp.sum(jnp.where(sub_iota == sub_a, rolled, 0),
+                                      axis=0, keepdims=True))
+                combined_b = b_buf[slot, t].astype(jnp.int32)
+                b_rows.append(jnp.sum(jnp.where(sub_iota == sub_b, combined_b, 0),
+                                      axis=0, keepdims=True))
+                l_vals.append(jnp.full((1, 1), lt, jnp.int32))
+            ga_scr[pl.ds(g8, GROUP), :] = jnp.concatenate(a_rows, axis=0)
+            gb_scr[pl.ds(g8, GROUP), :] = jnp.concatenate(b_rows, axis=0)
+            l_scr[pl.ds(g8, GROUP), :] = jnp.concatenate(l_vals, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, n_groups, process_group, 0)
+
+        a_w = ga_scr[:, :]
+        b_w = gb_scr[:, :]
+        a = a_w & 7
+        qa_v = a_w >> 3
+        b = b_w & 7
+        qb_v = b_w >> 3
+        col = jax.lax.broadcasted_iota(jnp.int32, (TB, SEG), 1)
+        valid = col < l_scr[:, :]
+        either_n = (a >= N_CODE) | (b >= N_CODE)
+        cm = valid & jnp.logical_not(either_n)
+
+        p1 = jnp.exp(qa_v.astype(jnp.float32) * (-LOG10_OVER_10))
+        p2 = jnp.exp(qb_v.astype(jnp.float32) * (-LOG10_OVER_10))
+        match = a == b
+        p_match = (1.0 - p1) * (1.0 - p2) + (p1 * p2) * (1.0 / 3.0)
+        p_mis = (p1 * (1.0 - p2) + p2 * (1.0 - p1)) * (1.0 / 3.0) + (2.0 / 9.0) * (p1 * p2)
+        p = jnp.where(match, p_match, p_mis)
+
+        rejected = jnp.sum((cm & (p < mismatch_thresh)).astype(jnp.int32), axis=1)
+        sum_log = jnp.sum(jnp.where(cm, jnp.log(p), 0.0), axis=1)
+        counted = jnp.sum(cm.astype(jnp.int32), axis=1)
+        mism = jnp.sum((cm & jnp.logical_not(match)).astype(jnp.int32), axis=1)
+
+        sumlog_ref[:, 0] = sum_log
+        counted_ref[:, 0] = counted
+        mism_ref[:, 0] = mism
+        rej_ref[:, 0] = rejected
+
+    if resident:
+        chosen_kernel = kernel
+        in_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = [
+            pltpu.VMEM((GROUP, ROLLW), jnp.int32),
+            pltpu.VMEM((TB, SEG), jnp.int32),
+            pltpu.VMEM((TB, SEG), jnp.int32),
+            pltpu.VMEM((TB, 1), jnp.int32),
+        ]
+    else:
+        chosen_kernel = kernel_hbm
+        in_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((2, GROUP, 8, ROLLW), jnp.int16),
+            pltpu.VMEM((2, GROUP, 8, SEG), jnp.int16),
+            pltpu.VMEM((TB, SEG), jnp.int32),
+            pltpu.VMEM((TB, SEG), jnp.int32),
+            pltpu.VMEM((TB, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, GROUP, 2)),
+        ]
+
+    def run(comb, rows_packed, posa, bolen):
         b = rows_packed.shape[0]
         assert b % TB == 0, f"batch {b} not a multiple of TB={TB}"
         nsteps = b // TB
         out = pl.pallas_call(
-            kernel,
+            chosen_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(nsteps,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                ],
+                in_specs=[in_spec],
                 out_specs=[
                     pl.BlockSpec((TB, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((TB, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((TB, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                     pl.BlockSpec((TB, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
                 ],
-                scratch_shapes=[
-                    pltpu.VMEM((GROUP, ROLLW), jnp.int32),
-                    pltpu.VMEM((TB, W), jnp.int32),
-                    pltpu.VMEM((TB, W), jnp.int32),
-                    pltpu.VMEM((TB, 1), jnp.int32),
-                ],
+                scratch_shapes=scratch,
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((b, 1), jnp.float32),
@@ -191,27 +327,29 @@ def _build_kernel(width: int, mismatch_thresh: float):
                 jax.ShapeDtypeStruct((b, 1), jnp.int32),
                 jax.ShapeDtypeStruct((b, 1), jnp.int32),
             ],
-        )(rows_packed, posl_packed, combined2w)
+        )(rows_packed, posa, bolen, comb)
         return tuple(o.reshape(-1) for o in out)
 
     return jax.jit(run)
 
 
 def pack_for_pallas(codes: np.ndarray, quals: np.ndarray) -> np.ndarray:
-    """Combine (R, W) packed unit matrices into one (R, 2W) int16 matrix of
+    """Combine (R, W) packed unit matrices into one (R, RW) int16 matrix of
     code | qual<<3 words (9 bits used) for single-load in-kernel gathers;
-    W is rounded up to a power of two >= 256."""
+    RW = W rounded up to a multiple of 128 plus LOADW slack so aligned
+    in-bounds window loads never run off the row."""
     r, w = codes.shape
-    wp = 256
-    while wp < w:
-        wp *= 2
-    comb = np.full((r, 2 * wp), PAD_CODE, dtype=np.int16)
-    comb[:, :w] = (codes.astype(np.int16)
-                   | (quals.astype(np.int16) << 3))
+    rw = _row_width(w)
+    r8 = ((r + 7) // 8) * 8  # 8-row tiles must be fully addressable (DMA)
+    comb = np.full((r8, rw), PAD_CODE, dtype=np.int16)
+    comb[:r, :w] = (codes.astype(np.int16)
+                    | (quals.astype(np.int16) << 3))
     return comb
 
 
 def pallas_supported(codes: np.ndarray) -> bool:
+    """True on TPU for any matrix size: matrices within the VMEM budget run
+    the resident kernel, larger ones the HBM-DMA kernel."""
     import jax
 
     try:
@@ -219,11 +357,35 @@ def pallas_supported(codes: np.ndarray) -> bool:
             return False
     except Exception:
         return False
+    return codes.shape[0] < (1 << 16)
+
+
+def _fits_vmem(codes: np.ndarray) -> bool:
     r, w = codes.shape
-    wp = 256
-    while wp < w:
-        wp *= 2
-    return _vmem_estimate(r, wp) <= VMEM_BUDGET_BYTES
+    return _vmem_estimate(r, w) <= VMEM_BUDGET_BYTES
+
+
+def segment_tasks(row_a, row_b, pos, L):
+    """Decompose tasks into SEG-lane subtasks.
+
+    Returns (s_rows, s_posa, s_bolen, task_bounds) where task_bounds are
+    np.add.reduceat boundaries mapping subtask outputs back to tasks.
+    Degenerate tasks (L <= 0) get one zero-length subtask so every task
+    produces exactly one reduction slot.
+    """
+    L = np.maximum(L, 0)
+    nseg = np.maximum((L + SEG - 1) // SEG, 1).astype(np.int64)
+    total = int(nseg.sum())
+    task_of = np.repeat(np.arange(len(L), dtype=np.int64), nseg)
+    bounds = np.concatenate([[0], np.cumsum(nseg)[:-1]])
+    k = np.arange(total, dtype=np.int64) - np.repeat(bounds, nseg)
+    bo = k * SEG
+    seg_len = np.minimum(L[task_of] - bo, SEG)
+    s_rows = ((row_a[task_of].astype(np.int64) << 16)
+              | row_b[task_of].astype(np.int64)).astype(np.int32)
+    s_posa = (pos[task_of].astype(np.int64) + bo).astype(np.int32)
+    s_bolen = ((k << 10) | seg_len).astype(np.int32)
+    return s_rows, s_posa, s_bolen, bounds
 
 
 def score_tasks_pallas(
@@ -248,7 +410,6 @@ def score_tasks_pallas(
         return TaskScores(z, z, z, z.astype(np.int64), z.astype(np.int64),
                           z.astype(bool))
     combined = pack_for_pallas(codes, quals)
-    w = combined.shape[1] // 2
     lens = unit_lens_by_row.astype(np.int64)
     len_a = lens[row_a]
     len_b = lens[row_b]
@@ -257,11 +418,11 @@ def score_tasks_pallas(
     L = np.where(pos64 >= len_a, 0, L)
 
     assert codes.shape[0] < (1 << 16), "row ids must fit in 16 bits"
-    rows_packed = ((row_a.astype(np.int64) << 16) | row_b.astype(np.int64)).astype(np.int32)
-    posl_packed = ((pos64 << 16) | np.maximum(np.minimum(L, 0xFFFF), 0)).astype(np.int32)
+    s_rows, s_posa, s_bolen, bounds = segment_tasks(
+        row_a.astype(np.int64), row_b.astype(np.int64), pos64, L)
+    n_sub = len(s_rows)
 
-    fn = _build_kernel(w, float(mismatch_thresh))
-    tb = _tb_for_width(w)
+    fn = _build_kernel(float(mismatch_thresh), _fits_vmem(codes))
     comb_d = jnp.asarray(combined)
     # dispatch ALL chunks before any host fetch: JAX dispatch is async, so
     # upload/kernel/download pipeline across chunks; a per-chunk
@@ -269,25 +430,32 @@ def score_tasks_pallas(
     # each through the axon tunnel)
     dev_outs = []
     ns = []
-    for start in range(0, b, CHUNK):
-        end = min(start + CHUNK, b)
+    for start in range(0, n_sub, CHUNK):
+        end = min(start + CHUNK, n_sub)
         n = end - start
-        pad = (-n) % tb
-        rp = rows_packed[start:end]
-        pp = posl_packed[start:end]
+        pad = (-n) % TB
+        rp = s_rows[start:end]
+        pp = s_posa[start:end]
+        bp = s_bolen[start:end]
         if pad:
             rp = np.concatenate([rp, np.zeros(pad, np.int32)])
             pp = np.concatenate([pp, np.zeros(pad, np.int32)])
-        dev_outs.append(fn(comb_d, jnp.asarray(rp), jnp.asarray(pp)))
+            bp = np.concatenate([bp, np.zeros(pad, np.int32)])
+        dev_outs.append(fn(comb_d, jnp.asarray(rp), jnp.asarray(pp), jnp.asarray(bp)))
         ns.append(n)
     # concat per output column on device -> exactly 4 host transfers total
     cols = [jnp.concatenate([d[j][:n] for d, n in zip(dev_outs, ns)])
             if len(dev_outs) > 1 else dev_outs[0][j][:ns[0]]
             for j in range(4)]
-    sum_log = np.asarray(cols[0]).astype(np.float64)
-    counted = np.asarray(cols[1]).astype(np.int64)
-    mism = np.asarray(cols[2]).astype(np.int64)
-    rejected = np.asarray(cols[3]) > 0
+    # segment -> task reduction
+    sub_sumlog = np.asarray(cols[0]).astype(np.float64)
+    sub_counted = np.asarray(cols[1]).astype(np.int64)
+    sub_mism = np.asarray(cols[2]).astype(np.int64)
+    sub_rej = np.asarray(cols[3]).astype(np.int64)
+    sum_log = np.add.reduceat(sub_sumlog, bounds)
+    counted = np.add.reduceat(sub_counted, bounds)
+    mism = np.add.reduceat(sub_mism, bounds)
+    rejected = np.add.reduceat(sub_rej, bounds) > 0
 
     degenerate = (pos64 >= len_a) | (len_a < min_read_len) | (len_b < min_read_len) | (counted == 0)
     ok = ~degenerate & ~rejected

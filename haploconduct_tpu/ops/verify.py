@@ -229,6 +229,8 @@ def combine_scores(
 # test/diagnostic instrumentation: counters of how many tasks/overlaps the
 # exactness machinery re-scored in f64 during the last verify_overlaps call
 RECHECK_STATS = {"tasks": 0, "overlaps": 0}
+# cumulative per-backend task counts (pallas vs XLA-gather fallback vs numpy)
+BACKEND_COUNTS = {"pallas": 0, "xla": 0, "numpy": 0}
 
 
 def verify_overlaps(
@@ -260,13 +262,16 @@ def verify_overlaps(
     RECHECK_STATS["tasks"] = 0
     RECHECK_STATS["overlaps"] = 0
     if s.backend == "numpy":
+        BACKEND_COUNTS["numpy"] += len(plan.row_first)
         ts = score_tasks_numpy(*args, **kw)
     else:
         from .pallas_score import pallas_supported, score_tasks_pallas
 
         if pallas_supported(packed.codes):
+            BACKEND_COUNTS["pallas"] += len(plan.row_first)
             ts = score_tasks_pallas(*args, **kw)
         else:
+            BACKEND_COUNTS["xla"] += len(plan.row_first)
             ts = score_tasks_jax(*args, **kw)
         ts = _exact_mismatch_rates(plan, ts, lens_by_row, kw)
         if s.exact and len(plan.row_first):

@@ -314,3 +314,33 @@ def test_mismatch_rate_exact_on_device_path():
     r32 = verify_overlaps(store, packed, ov, s32)
     np.testing.assert_array_equal(r64.scored["mismatch_rate"],
                                   r32.scored["mismatch_rate"])
+
+
+@pytest.mark.skipif(os.environ.get("RUN_TPU") != "1",
+                    reason="needs the real TPU chip; set RUN_TPU=1")
+def test_pallas_kernel_hbm_resident():
+    """Matrix larger than the VMEM budget: the HBM-DMA double-buffered
+    kernel variant must take over (kb-scale contig stages, SURVEY hard-part
+    #2) and still match the f64 oracle."""
+    from haploconduct_tpu.ops.pallas_score import (
+        _fits_vmem, pallas_supported, score_tasks_pallas)
+
+    rng = np.random.default_rng(2)
+    R, W = 1600, 9000
+    codes = np.full((R, W), 4, np.int8)
+    quals = np.zeros((R, W), np.uint8)
+    lens = rng.integers(800, W + 1, R).astype(np.int64)
+    for i in range(R):
+        codes[i, :lens[i]] = rng.integers(0, 4, lens[i])
+        quals[i, :lens[i]] = rng.integers(2, 41, lens[i])
+    assert pallas_supported(codes) and not _fits_vmem(codes)
+    B = 1024
+    row_a = rng.integers(0, R, B).astype(np.int64)
+    row_b = rng.integers(0, R, B).astype(np.int64)
+    pos = np.array([rng.integers(0, max(1, lens[a] - 100)) for a in row_a], np.int64)
+    tp = score_tasks_pallas(codes, quals, lens, row_a, row_b, pos)
+    to = score_tasks_numpy(codes, quals, lens, row_a, row_b, pos)
+    np.testing.assert_allclose(tp.sum_log, to.sum_log, rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(tp.mismatches, to.mismatches)
+    np.testing.assert_array_equal(tp.counted, to.counted)
+    np.testing.assert_array_equal(tp.rejected, to.rejected)
