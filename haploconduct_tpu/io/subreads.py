@@ -29,9 +29,14 @@ SubreadDict = Dict[int, Dict[int, OriginalIndex]]
 
 
 def read_subreads(path: str) -> SubreadDict:
-    out: SubreadDict = {}
     with open(path) as f:
-        for line in f:
+        return subreads_from_text(f.read())
+
+
+def subreads_from_text(text: str) -> SubreadDict:
+    out: SubreadDict = {}
+    if True:  # keep the original loop body's indentation
+        for line in text.split("\n"):
             line = line.rstrip("\n")
             if not line:
                 continue
@@ -58,17 +63,23 @@ def read_subreads(path: str) -> SubreadDict:
     return out
 
 
+def subreads_to_text(subreads: SubreadDict) -> str:
+    lines = []
+    for contig_id, originals in subreads.items():
+        fields = [str(contig_id)]
+        for orig_id, oi in originals.items():
+            ori = "+" if oi.forward else "-"
+            if oi.is_paired:
+                fields.append(f"{orig_id}:{ori}:{oi.index1},{oi.index2}:{oi.len1},{oi.len2}")
+            else:
+                fields.append(f"{orig_id}:{ori}:{oi.index1}:{oi.len1}")
+        lines.append("\t".join(fields) + "\n")
+    return "".join(lines)
+
+
 def write_subreads(path: str, subreads: SubreadDict, append: bool = False) -> None:
     with open(path, "a" if append else "w") as f:
-        for contig_id, originals in subreads.items():
-            fields = [str(contig_id)]
-            for orig_id, oi in originals.items():
-                ori = "+" if oi.forward else "-"
-                if oi.is_paired:
-                    fields.append(f"{orig_id}:{ori}:{oi.index1},{oi.index2}:{oi.len1},{oi.len2}")
-                else:
-                    fields.append(f"{orig_id}:{ori}:{oi.index1}:{oi.len1}")
-            f.write("\t".join(fields) + "\n")
+        f.write(subreads_to_text(subreads))
 
 
 def trivial_subreads(read_ids, paired_flags, len1s, len2s) -> SubreadDict:

@@ -29,6 +29,201 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data"):
     return Mesh(np.array(devices), (axis,))
 
 
+@functools.lru_cache(maxsize=1)
+def default_mesh():
+    """The process-global data-parallel mesh over every visible device
+    (across hosts when jax.distributed is initialized)."""
+    return make_mesh()
+
+
+def device_count() -> int:
+    try:
+        import jax
+
+        return len(jax.devices())
+    except Exception:
+        return 1
+
+
+# --------------------------------------------------------------------------
+# Production sharded verification: the segmented-kernel ABI of
+# ops/pallas_score.py (comb int16 matrix + (rows, posa, bolen) subtask
+# stream) shard_map-ed over the mesh's data axis. Each chip runs the
+# Pallas kernel on its slice (XLA segment math off-TPU), the packed matrix
+# is replicated, results ride back sharded. This replaces the reference's
+# OpenMP-over-overlap-chunks hot loop (src/EdgeCalculator.cpp:395-423).
+# --------------------------------------------------------------------------
+
+def _xla_segment_body(mismatch_thresh: float):
+    """Per-device segment scorer with the same ABI/semantics as the Pallas
+    kernel (used off-TPU, e.g. the driver's virtual CPU mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.reads import N_CODE
+    from ..ops.pallas_score import SEG
+
+    LOG10_OVER_10 = float(np.log(10.0) / 10.0)
+
+    def body(comb, rows, posa, bolen):
+        rw = comb.shape[1]
+        row_a = (rows >> 16).astype(jnp.int32)
+        row_b = (rows & 0xFFFF).astype(jnp.int32)
+        bo = ((bolen >> 10) << 9).astype(jnp.int32)
+        lt = (bolen & 1023).astype(jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, SEG), 1)
+        a_idx = jnp.minimum(posa[:, None] + col, rw - 1)
+        b_idx = jnp.minimum(bo[:, None] + col, rw - 1)
+        a_w = jnp.take_along_axis(comb[row_a], a_idx, axis=1).astype(jnp.int32)
+        b_w = jnp.take_along_axis(comb[row_b], b_idx, axis=1).astype(jnp.int32)
+        a = a_w & 7
+        qa = a_w >> 3
+        b = b_w & 7
+        qb = b_w >> 3
+        valid = col < lt[:, None]
+        either_n = (a >= N_CODE) | (b >= N_CODE)
+        cm = valid & jnp.logical_not(either_n)
+        p1 = jnp.exp(qa.astype(jnp.float32) * (-LOG10_OVER_10))
+        p2 = jnp.exp(qb.astype(jnp.float32) * (-LOG10_OVER_10))
+        match = a == b
+        p_match = (1.0 - p1) * (1.0 - p2) + (p1 * p2) * (1.0 / 3.0)
+        p_mis = (p1 * (1.0 - p2) + p2 * (1.0 - p1)) * (1.0 / 3.0) + (2.0 / 9.0) * (p1 * p2)
+        p = jnp.where(match, p_match, p_mis)
+        rejected = jnp.sum((cm & (p < mismatch_thresh)).astype(jnp.int32), axis=1)
+        sum_log = jnp.sum(jnp.where(cm, jnp.log(p), 0.0), axis=1)
+        counted = jnp.sum(cm.astype(jnp.int32), axis=1)
+        mism = jnp.sum((cm & jnp.logical_not(match)).astype(jnp.int32), axis=1)
+        return sum_log, counted, mism, rejected
+
+    return body
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_segment_fn(mismatch_thresh: float, axis: str = "data"):
+    """Build the mesh-sharded segment scorer. The subtask stream is sharded
+    over `axis`, the packed matrix replicated; per-device body = the Pallas
+    kernel on TPU, the XLA formulation elsewhere."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
+    if on_tpu:
+        from ..ops.pallas_score import _build_kernel
+
+        kern = _build_kernel(mismatch_thresh, True)
+
+        def body(comb, rows, posa, bolen):
+            sl, cn, mm, rj = kern(comb, rows, posa, bolen)
+            return sl, cn, mm, rj
+    else:
+        body = _xla_segment_body(mismatch_thresh)
+
+    def build(mesh):
+        try:
+            smapped = shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                check_vma=False,
+            )
+        except TypeError:  # older jax spells it check_rep
+            smapped = shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                check_rep=False,
+            )
+        return jax.jit(smapped)
+
+    return build
+
+
+def sharded_score_tasks(
+    codes: np.ndarray,
+    quals: np.ndarray,
+    unit_lens_by_row: np.ndarray,
+    row_a: np.ndarray,
+    row_b: np.ndarray,
+    pos: np.ndarray,
+    mismatch_thresh: float = 0.0,
+    min_read_len: int = 0,
+    mesh=None,
+):
+    """Mesh-sharded scoring with the score_tasks_* contract (TaskScores of
+    host numpy arrays). The production multi-chip verification path: used
+    by ops/verify.py whenever more than one device is visible."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas_score import TB, pack_for_pallas, segment_tasks
+    from ..ops.score import TaskScores, score_tasks_numpy
+
+    b = len(row_a)
+    if b == 0:
+        return score_tasks_numpy(codes, quals, unit_lens_by_row, row_a, row_b, pos)
+    if mesh is None:
+        mesh = default_mesh()
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    combined = pack_for_pallas(codes, quals)
+    lens = unit_lens_by_row.astype(np.int64)
+    len_a = lens[row_a]
+    len_b = lens[row_b]
+    pos64 = pos.astype(np.int64)
+    L = np.minimum(len_a - pos64, len_b)
+    L = np.where(pos64 >= len_a, 0, L)
+
+    assert codes.shape[0] < (1 << 16), "row ids must fit in 16 bits"
+    s_rows, s_posa, s_bolen, bounds = segment_tasks(
+        row_a.astype(np.int64), row_b.astype(np.int64), pos64, L)
+    n_sub = len(s_rows)
+    pad = (-n_sub) % (n_dev * TB)
+    if pad:
+        z = np.zeros(pad, np.int32)
+        s_rows = np.concatenate([s_rows, z])
+        s_posa = np.concatenate([s_posa, z])
+        s_bolen = np.concatenate([s_bolen, z])
+
+    fn = _sharded_segment_fn(float(mismatch_thresh))(mesh)
+    out = fn(jnp.asarray(combined), jnp.asarray(s_rows),
+             jnp.asarray(s_posa), jnp.asarray(s_bolen))
+    out = _gather_across_processes(out)
+    sub_sumlog = np.asarray(out[0])[:n_sub].astype(np.float64)
+    sub_counted = np.asarray(out[1])[:n_sub].astype(np.int64)
+    sub_mism = np.asarray(out[2])[:n_sub].astype(np.int64)
+    sub_rej = np.asarray(out[3])[:n_sub].astype(np.int64)
+    sum_log = np.add.reduceat(sub_sumlog, bounds)
+    counted = np.add.reduceat(sub_counted, bounds)
+    mism = np.add.reduceat(sub_mism, bounds)
+    rejected = np.add.reduceat(sub_rej, bounds) > 0
+
+    degenerate = (pos64 >= len_a) | (len_a < min_read_len) | (len_b < min_read_len) | (counted == 0)
+    ok = ~degenerate & ~rejected
+    with np.errstate(divide="ignore", invalid="ignore"):
+        score = np.where(ok, np.exp(sum_log / np.maximum(counted, 1)), 0.0)
+        mism_rate = np.where(ok, mism / np.maximum(counted, 1), 1.0)
+    return TaskScores(score, mism_rate, sum_log, counted, mism, rejected)
+
+
+def _gather_across_processes(arrays):
+    """Fully replicate sharded outputs on every host. Single-process: the
+    arrays are fully addressable already. Multi-host (jax.distributed):
+    allgather over the mesh so each host can run the (replicated) graph
+    phase on the complete verified-edge stream."""
+    import jax
+
+    if jax.process_count() == 1:
+        return arrays
+    from jax.experimental import multihost_utils
+
+    return tuple(multihost_utils.process_allgather(a, tiled=True)
+                 for a in arrays)
+
+
 @functools.lru_cache(maxsize=8)
 def sharded_score_fn(width: int, mismatch_thresh: float, min_read_len: int, axis: str = "data"):
     """Build a pjit-ed scorer: tasks sharded over the mesh axis, packed
@@ -182,9 +377,14 @@ def sharded_assembly_step(mesh, codes: np.ndarray, quals: np.ndarray,
                           lens: np.ndarray, k: int = 13, expand: int = 8,
                           edge_threshold: float = 0.97,
                           min_overlap_len: int = 30):
-    """Host wrapper: sorted k-mer table on host (np.argsort), then the
-    sharded join+verify step on the mesh. Returns (per-candidate score
-    matrix (R, NK*... flattened per expand slot), accepted edge count)."""
+    """DEMO wrapper (the dryrun's join+verify smoke): sorted k-mer table on
+    host, then the sharded join+verify step on the mesh. Returns
+    (per-candidate-slot score matrix, accepted candidate-SLOT count). The
+    count is per (query k-mer, expand slot) above threshold — a pair
+    sharing S seed k-mers on one diagonal is counted up to S times and only
+    forward-strand joins are made — so it is NOT a deduplicated edge count.
+    The production path is sharded_score_tasks + ops/verify.py, which
+    dedups via the overlap planner."""
     import jax.numpy as jnp
 
     R, W = codes.shape

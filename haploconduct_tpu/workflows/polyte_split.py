@@ -158,13 +158,52 @@ def run_polyte_split(store: ReadStore, cfg: PolyteSplitConfig) -> PolyteSplitRes
             # per-region failures are tolerated (polyte-split.py:537-540)
             return None
 
-    if cfg.pool_size > 1 and len(jobs) > 1:
+    # multi-host: regions round-robined over jax processes (the TPU-native
+    # mapping of polyte-split's multiprocessing.Pool, polyte-split.py:335-
+    # 354); results allgathered so the final reference-guided pass runs
+    # replicated on every host
+    from ..parallel.distributed import (
+        allgather_indexed, decode_store_subreads, encode_store_subreads,
+        maybe_initialize, my_work_items, process_count)
+
+    maybe_initialize()
+    mine = my_work_items(len(jobs)) if process_count() > 1 else list(range(len(jobs)))
+    if cfg.pool_size > 1 and len(mine) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=cfg.pool_size) as pool:
-            outcomes = list(pool.map(run_region, [st for _, st in jobs]))
+            local = list(pool.map(run_region, [jobs[i][1] for i in mine]))
     else:
-        outcomes = [run_region(st) for _, st in jobs]
+        local = [run_region(jobs[i][1]) for i in mine]
+
+    if process_count() > 1:
+        def enc(rres):
+            if rres is None:
+                return None
+            use_dip = cfg.diploid and rres.diploid_store and len(rres.diploid_store) > 0
+            st = rres.diploid_store if use_dip else rres.store
+            sb = rres.diploid_subreads if use_dip else rres.subreads
+            blob = encode_store_subreads(st, sb)
+            if blob is not None:
+                blob["diploid"] = bool(use_dip)
+                blob["iterations"] = rres.iterations
+            return blob
+
+        def dec(blob):
+            from .polyte import PolyteResult
+
+            st, sb = decode_store_subreads(blob)
+            if blob.get("diploid"):
+                return PolyteResult(store=st, subreads=sb, diploid_store=st,
+                                    diploid_subreads=sb,
+                                    iterations=int(blob["iterations"]))
+            return PolyteResult(store=st, subreads=sb,
+                                iterations=int(blob["iterations"]))
+
+        outcomes = allgather_indexed(local, mine, len(jobs), enc, dec,
+                                     allow_missing=True)
+    else:
+        outcomes = local
 
     # merge in window order regardless of completion order (determinism)
     combined = ReadStore()

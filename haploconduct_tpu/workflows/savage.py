@@ -301,14 +301,25 @@ def run_savage(
                                      overlap_lines=[], iterations=0)
     else:
         patches = split_into_patches(store, cfg.split_num, cfg.revcomp)
-        patch_results: List[StageResult] = []
-        id_maps: List[Dict[int, int]] = []
+        id_maps: List[Dict[int, int]] = [id_map for _, id_map in patches]
         ref_index = None
         if cfg.reference:
             from ..ops.align import ReferenceIndex
 
             ref_index = ReferenceIndex.from_fasta(cfg.reference)
-        for pstore, id_map in patches:
+        # multi-host: patches round-robined over jax processes; per-patch
+        # candidate streams are sharded over the global mesh inside
+        # verify_overlaps; contig sets allgathered so stage b/c run
+        # replicated (reference: sequential per-patch stage a,
+        # savage.py:373-396)
+        from ..parallel.distributed import (
+            allgather_stage_results, maybe_initialize, my_work_items)
+
+        maybe_initialize()
+        mine = my_work_items(len(patches))
+        local_results: List[StageResult] = []
+        for pidx in mine:
+            pstore, _ = patches[pidx]
             if ref_index is not None:
                 overlaps = ref_guided_candidates(pstore, ref_index, min_overlap_len)
             else:
@@ -324,8 +335,8 @@ def run_savage(
                 backend=cfg.backend,
                 verbose=cfg.verbose,
             )
-            patch_results.append(run_stage(params, pstore, overlaps))
-            id_maps.append(id_map)
+            local_results.append(run_stage(params, pstore, overlaps))
+        patch_results = allgather_stage_results(local_results, mine, len(patches))
 
         combined, combined_sub = combine_patch_contigs(patch_results, id_maps)
         result.stage_a = patch_results[0]
