@@ -379,7 +379,12 @@ def rows_dtype():
 
 
 def find_next_overlaps3(builder: SuperreadBuilder) -> List[str]:
-    """FNO3: overlaps between superreads sharing an original read."""
+    """FNO3: overlaps between superreads sharing an original read
+    (src/FindNextOverlaps3.cpp:20-173). Each superread PAIR emits one
+    overlap, deduced from whichever shared original is reached first — so
+    the outer iteration order decides coordinates. In reference-order mode
+    that is the libstdc++ iteration order of original_to_index (superread
+    originals are already stored in their maps' iteration order)."""
     s = builder.s
     # original read -> superreads, in single/paired/trivial insertion order
     orig_to_sr: Dict[int, List[Superread]] = {}
@@ -387,9 +392,16 @@ def find_next_overlaps3(builder: SuperreadBuilder) -> List[str]:
         for sr in group:
             for orig_id in sr.originals:
                 orig_to_sr.setdefault(orig_id, []).append(sr)
+    if s.reference_order:
+        from ..utils.cpporder import umap_order
+
+        outer = umap_order(orig_to_sr.keys())
+    else:
+        outer = list(orig_to_sr.keys())
     found: Dict[int, Set[int]] = {}
     lines: List[str] = []
-    for orig_id, sr_list in orig_to_sr.items():
+    for orig_id in outer:
+        sr_list = orig_to_sr[orig_id]
         n = len(sr_list)
         for i in range(n):
             sr1 = sr_list[i]

@@ -119,10 +119,16 @@ def run_iteration(
     # ---- superread construction
     builder = SuperreadBuilder(store, graph, s, originals_dict)
     if s.cliques:
-        v1, v2 = graph.edge_endpoints()
-        incl = np.flatnonzero(graph.inclusions)
-        keep = ~(np.isin(v1, incl) | np.isin(v2, incl)) if len(incl) else np.ones(len(v1), bool)
-        cliques = enumerate_cliques(graph.n, v1[keep], v2[keep])
+        if s.reference_order:
+            from ..graph.cliques import enumerate_cliques_ref
+
+            u, v = graph.graph_txt_pairs()
+            cliques = enumerate_cliques_ref(graph.n, u, v)
+        else:
+            v1, v2 = graph.edge_endpoints()
+            incl = np.flatnonzero(graph.inclusions)
+            keep = ~(np.isin(v1, incl) | np.isin(v2, incl)) if len(incl) else np.ones(len(v1), bool)
+            cliques = enumerate_cliques(graph.n, v1[keep], v2[keep])
         builder.cliques_to_superreads(cliques)
         stats["n_cliques"] = len(cliques)
     else:

@@ -51,6 +51,7 @@ class StageParams:
     backend: str = "jax"
     verbose: bool = False
     output_dir: str = ""  # when set, per-iteration logs/stats/GFA land here
+    dump_dir: str = ""  # when set, snapshot itN_{fastq,overlaps,subreads} there
 
 
 def _base_settings(p: StageParams, **overrides) -> Settings:
@@ -67,6 +68,25 @@ def _base_settings(p: StageParams, **overrides) -> Settings:
         optimize=False,
     )
     return s.derive(**overrides)
+
+
+def _dump_iteration(dump_dir, iteration, store, sub, lines) -> None:
+    """Per-iteration snapshots in the reference's --copyfiles layout
+    (itN_singles.fastq etc.), for side-by-side parity debugging."""
+    import os
+
+    from ..utils.checkpoint import save_state
+
+    d = os.path.join(dump_dir, "snap")
+    os.makedirs(d, exist_ok=True)
+    save_state(d, store, sub, None)
+    for fname in ("singles.fastq", "paired1.fastq", "paired2.fastq", "subreads.txt"):
+        src = os.path.join(d, fname)
+        if os.path.exists(src):
+            os.replace(src, os.path.join(dump_dir, f"it{iteration}_{fname}"))
+    with open(os.path.join(dump_dir, f"it{iteration}_overlaps.txt"), "w") as f:
+        for line in lines or []:
+            f.write(line.rstrip("\n") + "\n")
 
 
 def run_stage(
@@ -104,6 +124,8 @@ def run_stage(
             return False
         cur_store, cur_sub, cur_lines = res.store, res.subreads, res.overlap_lines
         cur_overlaps = overlaps_from_lines(res.overlap_lines)
+        if p.dump_dir:
+            _dump_iteration(p.dump_dir, iteration, cur_store, cur_sub, cur_lines)
         read_counts.append(len(cur_store))
         overlap_counts.append(len(res.overlap_lines))
         edge_counts.append(res.stats.get("n_edges_final", 0))

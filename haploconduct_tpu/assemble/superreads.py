@@ -26,6 +26,7 @@ from ..core.reads import N_CODE, ReadStore, revcomp_codes
 from ..graph.overlap_graph import OverlapGraph
 from ..io.subreads import OriginalIndex, SubreadDict
 from ..utils.config import Settings
+from ..utils.cpporder import reorder_map, umap_order
 
 LOG10 = np.log(10.0)
 N_QUAL = ord("$") - 33  # phred 3, the reference's quality for masked 'N's
@@ -379,7 +380,9 @@ class SuperreadBuilder:
                     si.startpos2, si.index2 = trim2 - pos, 0
                 else:
                     si.startpos2, si.index2 = 0, pos - trim2
-        return sub
+        # stored-order invariant: key order == C++ map iteration order
+        # (merge_self_overlap iterates subreadMap, SRBuilder.cpp:916-927)
+        return reorder_map(sub) if self.s.reference_order else sub
 
     # ----------------------------------------- filter_subreads (597-636)
     @staticmethod
@@ -448,6 +451,12 @@ class SuperreadBuilder:
 
         sub_map = self.calc_subread_info(trim1, trim2, pos1, pos2, sorted1, sorted2)
 
+        # in reference-order mode the stored key order of every originals
+        # dict equals the C++ map's iteration order; the reference ITERATES
+        # original_ID_dict entries here (whose C++ iteration order is the
+        # oracle permutation of our token-ordered originals_dict) and the
+        # new map it builds is reordered again below (SRBuilder.cpp:751-867)
+        ref_order = s.reference_order
         originals: Dict[int, OriginalIndex] = {}
         for node in clique:
             sub_id = int(store.ids[node])
@@ -458,7 +467,10 @@ class SuperreadBuilder:
             idx2 = si.index2 - si.startpos2
             sub_paired = store.is_paired[node]
             u1, u2 = store.units_of(node)
-            for orig_id, oi in node_subreads.items():
+            key_order = (umap_order(node_subreads.keys()) if ref_order
+                         else node_subreads.keys())
+            for orig_id in key_order:
+                oi = node_subreads[orig_id]
                 if orig_id in originals:
                     continue
                 new = OriginalIndex(
@@ -491,6 +503,8 @@ class SuperreadBuilder:
                         new.index1 = l0 + idx1 - (oi.len1 + oi.index1)
                 originals[orig_id] = new
 
+        if ref_order:
+            originals = reorder_map(originals)
         if sr_type == "p":
             return Superread(True, cons1, q1, cons2, q2, sorted1, sorted2, sub_map, originals)
         return Superread(False, cons1, q1, np.zeros(0, np.int8), np.zeros(0, np.uint8),
@@ -553,6 +567,11 @@ class SuperreadBuilder:
             if oi2.is_paired:
                 oi2.index2 = oi2.index2 + overlap_pos
             new_orig[oid] = oi2
+        if self.s.reference_order:
+            # the reference builds fresh maps by iterating the old ones
+            # (SRBuilder.cpp:916-950): one more map-order permutation each
+            new_sub = reorder_map(new_sub)
+            new_orig = reorder_map(new_orig)
         return Superread(False, cons, cq, np.zeros(0, np.int8), np.zeros(0, np.uint8),
                          new_clique, [], new_sub, new_orig, sr.read_id)
 
@@ -655,37 +674,50 @@ class SuperreadBuilder:
             fwd = bool(g.vertex_orientations[v])
             u1, u2 = store.units_of(v)
             paired = store.is_paired[v]
+            # reference (SRBuilder.cpp:1163-1224): forward trivials copy the
+            # original_ID_dict map (one map-order permutation of our
+            # token-ordered dict); reverse trivials iterate that copy and
+            # build a NEW map (a second permutation)
+            keys = (umap_order(subreads.keys()) if s.reference_order
+                    else list(subreads.keys()))
             if fwd:
                 sr = Superread(
                     paired,
                     store.unit_codes(u1), store.unit_quals(u1),
                     store.unit_codes(u2) if paired else np.zeros(0, np.int8),
                     store.unit_quals(u2) if paired else np.zeros(0, np.uint8),
-                    originals={k: OriginalIndex(o.index1, o.index2, o.is_paired,
-                                                o.forward, o.len1, o.len2)
-                               for k, o in subreads.items()},
+                    originals={k: OriginalIndex(
+                        subreads[k].index1, subreads[k].index2,
+                        subreads[k].is_paired, subreads[k].forward,
+                        subreads[k].len1, subreads[k].len2) for k in keys},
                     read_id=count)
             else:
                 upd: Dict[int, OriginalIndex] = {}
                 if paired:
                     l1, l2 = store.unit_len(u1), store.unit_len(u2)
-                    for k, o in subreads.items():
+                    for k in keys:
+                        o = subreads[k]
                         upd[k] = OriginalIndex(
                             index1=l1 - (o.index1 + o.len1),
                             index2=l2 - (o.index2 + o.len2),
                             is_paired=o.is_paired, forward=not o.forward,
                             len1=o.len1, len2=o.len2)
+                    if s.reference_order:
+                        upd = reorder_map(upd)
                     sr = Superread(True, store.unit_codes(u2, False), store.unit_quals(u2, False),
                                    store.unit_codes(u1, False), store.unit_quals(u1, False),
                                    originals=upd, read_id=count)
                 else:
                     l0 = store.unit_len(u1)
-                    for k, o in subreads.items():
+                    for k in keys:
+                        o = subreads[k]
                         upd[k] = OriginalIndex(
                             index1=l0 - (o.index1 + o.len1),
                             index2=(l0 - (o.index2 + o.len2)) if o.is_paired else 0,
                             is_paired=o.is_paired, forward=not o.forward,
                             len1=o.len1, len2=o.len2)
+                    if s.reference_order:
+                        upd = reorder_map(upd)
                     sr = Superread(False, store.unit_codes(u1, False), store.unit_quals(u1, False),
                                    np.zeros(0, np.int8), np.zeros(0, np.uint8),
                                    originals=upd, read_id=count)

@@ -209,6 +209,31 @@ def enumerate_cliques(
     return [flat[offsets[i]:offsets[i + 1]].tolist() for i in range(len(offsets) - 1)]
 
 
+def enumerate_cliques_ref(n: int, u: np.ndarray, v: np.ndarray) -> List[List[int]]:
+    """All maximal cliques in the EXACT emission order (and member order) of
+    the reference's `qc --algorithm=degeneracy` run on a graph.txt whose
+    edge lines are (u[i], v[i]) in sequence — see
+    OverlapGraph.graph_txt_pairs() for producing that sequence.
+
+    Matches quick-cliques/src/DegeneracyAlgorithm.cpp:107-528 (verified
+    against the compiled reference binary on random graphs and the bundled
+    examples). Clique order feeds the EC used_nodes / remove_multi_occ
+    filters, so this is what bit-identical contig parity requires. Falls
+    back to the spec-order enumerator if the native extension is missing.
+    """
+    from ..native import load_refsem_ext
+
+    ext = load_refsem_ext()
+    if ext is None:
+        import warnings
+
+        warnings.warn("refsem extension unavailable; clique order will not "
+                      "match the reference binary")
+        return enumerate_cliques(n, u, v)
+    flat, offsets = ext.enumerate_cliques_ref(int(n), u, v)
+    return [flat[offsets[i]:offsets[i + 1]].tolist() for i in range(len(offsets) - 1)]
+
+
 def max_clique_size(n: int, v1: np.ndarray, v2: np.ndarray) -> int:
     cliques = enumerate_cliques(n, v1, v2)
     return max((len(c) for c in cliques), default=0)

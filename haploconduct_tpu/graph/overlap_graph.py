@@ -312,6 +312,33 @@ class OverlapGraph:
         e = self.alive_edges()
         return e["v1"].astype(np.int64), e["v2"].astype(np.int64)
 
+    def graph_txt_pairs(self) -> Tuple[np.ndarray, np.ndarray]:
+        """The directed pair sequence of the reference's graph.txt
+        (src/OverlapGraph.cpp:322-385): vertices in id order, out-edges in
+        adjacency-list order, inclusion endpoints skipped, two-cycles
+        written once (at the first endpoint encountered), and each kept
+        edge emitted in both directions back-to-back. Feeds
+        enumerate_cliques_ref, whose emission order depends on this exact
+        line order."""
+        rows = self.edges
+        incl = self.inclusions
+        us: List[int] = []
+        vs: List[int] = []
+        for i in range(self.n):
+            if incl[i]:
+                continue
+            for e in self.adj_out[i]:
+                j = int(rows["v2"][e])
+                if incl[j]:
+                    continue
+                if j < i and self.check_edge(j, i, reverse_allowed=False) > 0:
+                    continue
+                us.append(i)
+                vs.append(j)
+                us.append(j)
+                vs.append(i)
+        return np.asarray(us, dtype=np.int64), np.asarray(vs, dtype=np.int64)
+
     def check_no_duplicate_edges(self) -> None:
         """Assert no two alive edges share (v1, v2) (checkDuplicateEdges)."""
         v1, v2 = self.edge_endpoints()

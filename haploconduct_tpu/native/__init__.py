@@ -87,6 +87,47 @@ def load_baseline_ext() -> Optional[_BaselineExt]:
     return _baseline_ext
 
 
+class _RefsemExt:
+    def __init__(self, module):
+        self._m = module
+
+    def umap_order(self, keys) -> np.ndarray:
+        """Iteration order of a libstdc++ std::unordered_map whose keys were
+        inserted in first-appearance order of `keys`."""
+        arr = np.ascontiguousarray(keys, dtype=np.uint64)
+        return np.frombuffer(self._m.umap_order(arr), dtype=np.uint64)
+
+    def enumerate_cliques_ref(self, n: int, u: np.ndarray, v: np.ndarray):
+        flat_b, off_b = self._m.enumerate_cliques_ref_raw(
+            int(n), np.ascontiguousarray(u, dtype=np.int64),
+            np.ascontiguousarray(v, dtype=np.int64))
+        flat = np.frombuffer(flat_b, dtype=np.int64)
+        offsets = np.frombuffer(off_b, dtype=np.int64)
+        return flat, offsets
+
+
+_refsem_ext: Optional[_RefsemExt] = None
+_refsem_failed = False
+
+
+def load_refsem_ext() -> Optional[_RefsemExt]:
+    global _refsem_ext, _refsem_failed
+    if _refsem_ext is not None or _refsem_failed:
+        return _refsem_ext
+    try:
+        import importlib.util
+
+        so_path = _build_ext("refsem", ["refsem.cpp"])
+        spec = importlib.util.spec_from_file_location("_refsem", so_path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        _refsem_ext = _RefsemExt(module)
+    except Exception:
+        _refsem_failed = True
+        _refsem_ext = None
+    return _refsem_ext
+
+
 _cliques_ext: Optional[_CliquesExt] = None
 _cliques_failed = False
 

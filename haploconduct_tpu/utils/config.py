@@ -61,6 +61,10 @@ class Settings:
     # rebuild-specific knobs (no reference equivalent)
     backend: str = "jax"  # "jax" device kernels | "numpy" host oracle
     exact: bool = True  # f64 re-check of near-threshold device scores
+    # reproduce the reference binary's output ORDER exactly (quick-cliques
+    # emission order + libstdc++ unordered_map iteration order); results are
+    # correct either way, but bit-identical contig parity needs this on
+    reference_order: bool = True
 
     def derive(self, **kwargs) -> "Settings":
         return replace(self, **kwargs)

@@ -1,13 +1,14 @@
-"""Parity of the full stage-a pipeline against the actual reference binary.
+"""Bit-identical parity of the full stage-a pipeline against the actual
+reference binary.
 
 Builds the read-only reference sources (/root/reference) with the boost
 shims in tools/refbuild, feeds BOTH pipelines identical candidate overlaps,
-and compares the converged contig length profiles. Marked slow: ~3-4 min.
-
-Established behavior (tracked here as a regression bound): on
-savage/example the two pipelines converge to contig sets whose top-10
-length profiles match almost exactly; small divergences are expected from
-clique enumeration order and FNO3 pair-selection order.
+and asserts EXACT equality of every per-iteration artifact the reference
+writes: the converged contig set (sequence + quality records), the
+subreads.txt provenance, and the final overlap set. Requires the
+reference-order mode (quick-cliques emission order + libstdc++
+unordered_map iteration order, haploconduct_tpu/native/refsem.cpp).
+Marked slow: ~3-4 min. RUN_SLOW=1 to run.
 """
 
 import os
@@ -15,11 +16,11 @@ import shutil
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 
 REFBUILD = "/root/repo/tools/refbuild"
 EXAMPLE = "/root/reference/savage/example/input_fas"
+HIV_REF = "/root/reference/savage/example/hiv-ref.fasta"
 
 pytestmark = pytest.mark.skipif(
     os.environ.get("RUN_SLOW") != "1",
@@ -48,28 +49,21 @@ def build_reference_binary():
     return vq
 
 
-def fastq_lengths(path):
-    lens = []
+def fastq_records(path):
+    """id -> (seq, qual); empty when the file does not exist."""
+    recs = {}
+    if not os.path.isfile(path):
+        return recs
     with open(path) as f:
-        for i, line in enumerate(f):
-            if i % 4 == 1:
-                lens.append(len(line.strip()))
-    return sorted(lens, reverse=True)
+        lines = f.read().splitlines()
+    for i in range(0, len(lines) - 3, 4):
+        recs[lines[i][1:]] = (lines[i + 1], lines[i + 3])
+    return recs
 
 
-def test_stage_a_parity(tmp_path):
-    build_reference_binary()
-    from haploconduct_tpu.core.reads import ReadStore
+def run_reference_stage_a(tmp_path, overlaps):
     from haploconduct_tpu.io.overlaps import write_overlaps
-    from haploconduct_tpu.workflows.savage import denovo_candidates
-    from haploconduct_tpu.assemble.stages import StageParams, run_stage
 
-    store = ReadStore.from_files(
-        singles=f"{EXAMPLE}/singles.fastq",
-        paired1=f"{EXAMPLE}/paired1.fastq", paired2=f"{EXAMPLE}/paired2.fastq")
-    overlaps = denovo_candidates(store, 200, 50)
-
-    # --- reference run
     workdir = tmp_path / "refrun"
     (workdir / "stage_a").mkdir(parents=True)
     shutil.copytree(EXAMPLE, workdir / "input_fas")
@@ -81,18 +75,75 @@ def test_stage_a_parity(tmp_path):
         "--min_overlap_len", "200", "--remove_branches", "true",
         "--max_tip_len", "415", "--edge_threshold", "0.97",
         "--clique_size_EC", "4"])
-    ref_lens = fastq_lengths(workdir / "stage_a" / "singles.fastq")
+    return workdir / "stage_a"
 
-    # --- our run
+
+def run_our_stage_a(store, overlaps):
+    from haploconduct_tpu.assemble.stages import StageParams, run_stage
+
     params = StageParams(stage="a", min_overlap_len=200, edge_threshold=0.97,
                          remove_branches=True, max_tip_len=415,
                          original_readcount=len(store), backend="numpy")
-    res = run_stage(params, store, overlaps)
-    our_lens = sorted((res.store.read_len(i) for i in range(len(res.store))),
-                      reverse=True)
+    return run_stage(params, store, overlaps)
 
-    # contig count within 5%, top-5 contig lengths identical
-    assert abs(len(our_lens) - len(ref_lens)) <= max(3, 0.05 * len(ref_lens))
-    assert our_lens[:5] == ref_lens[:5]
-    # total assembled length within 3%
-    assert abs(sum(our_lens) - sum(ref_lens)) <= 0.03 * sum(ref_lens)
+
+def assert_exact_parity(stage_dir, res):
+    from haploconduct_tpu.io.subreads import subreads_to_text
+
+    ref = fastq_records(stage_dir / "singles.fastq")
+    for end in (1, 2):
+        for rid, rec in fastq_records(stage_dir / f"paired{end}.fastq").items():
+            ref[f"{rid}/{end}"] = rec
+
+    ours = {}
+    st = res.store
+    for i in range(len(st)):
+        rid = int(st.ids[i])
+        if st.is_paired[i]:
+            ours[f"{rid}/1"] = (st.seq_str(i, 1), st.phred_str(i, 1))
+            ours[f"{rid}/2"] = (st.seq_str(i, 2), st.phred_str(i, 2))
+        else:
+            ours[str(rid)] = (st.seq_str(i, 0), st.phred_str(i, 0))
+
+    assert set(ours) == set(ref), (
+        f"contig id sets differ: {len(ours)} vs {len(ref)}; "
+        f"only_ours={sorted(set(ours) - set(ref))[:5]} "
+        f"only_ref={sorted(set(ref) - set(ours))[:5]}")
+    bad = [k for k in ref if ref[k] != ours[k]]
+    assert not bad, f"{len(bad)} contig records differ, first: {bad[0]}"
+
+    with open(stage_dir / "subreads.txt") as f:
+        ref_sub = f.read()
+    assert subreads_to_text(res.subreads) == ref_sub, "subreads.txt differs"
+
+
+def load_example_store():
+    from haploconduct_tpu.core.reads import ReadStore
+
+    return ReadStore.from_files(
+        singles=f"{EXAMPLE}/singles.fastq",
+        paired1=f"{EXAMPLE}/paired1.fastq", paired2=f"{EXAMPLE}/paired2.fastq")
+
+
+def test_stage_a_parity_denovo(tmp_path):
+    build_reference_binary()
+    from haploconduct_tpu.workflows.savage import denovo_candidates
+
+    store = load_example_store()
+    overlaps = denovo_candidates(store, 200, 50)
+    stage_dir = run_reference_stage_a(tmp_path, overlaps)
+    res = run_our_stage_a(store, overlaps)
+    assert_exact_parity(stage_dir, res)
+
+
+def test_stage_a_parity_ref_guided(tmp_path):
+    build_reference_binary()
+    from haploconduct_tpu.ops.align import ReferenceIndex
+    from haploconduct_tpu.workflows.savage import ref_guided_candidates
+
+    store = load_example_store()
+    ref_index = ReferenceIndex.from_fasta(HIV_REF)
+    overlaps = ref_guided_candidates(store, ref_index, 200)
+    stage_dir = run_reference_stage_a(tmp_path, overlaps)
+    res = run_our_stage_a(store, overlaps)
+    assert_exact_parity(stage_dir, res)
