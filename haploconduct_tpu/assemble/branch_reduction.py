@@ -32,6 +32,18 @@ from ..utils.config import Settings
 
 NodePair = Tuple[int, int]
 
+# HC_BR_TRACE=1 prints a per-branch/per-component trace in the same format
+# as the instrumented reference build (tools/polyte_parity_debug.py uses it
+# to pinpoint divergences down to a single branch decision)
+import os
+
+_TRACE = os.environ.get("HC_BR_TRACE") == "1"
+
+
+def _dbg(msg: str) -> None:
+    if _TRACE:
+        print(msg, flush=True)
+
 
 class BranchReduction:
     def __init__(self, graph: OverlapGraph, originals_dict: SubreadDict,
@@ -225,6 +237,15 @@ class BranchReduction:
             else:
                 final_branch = [v for v in final_branch if v != pair[0]]
 
+        if _TRACE:
+            arrow = "->" if outbranch else "<-"
+            _dbg(f"BRDBG branch node={node1} out={int(outbranch)} dist={distance}"
+                 f" final: {' '.join(map(str, final_branch))}"
+                 f" diff: {' '.join(map(str, diff_list))}".rstrip())
+            for node2 in neighbors:
+                ids = " ".join(map(str, evidence_per_neighbor[node2]))
+                _dbg(f"BRDBG   ev {node1}{arrow}{node2}: {ids}".rstrip())
+
         # store / intersect evidence per edge
         branch_rest = final_branch[1:] if final_branch else []
         k = 0
@@ -301,7 +322,19 @@ class BranchReduction:
                 visited_in[node] = True
                 extend_out(component, branch, state)
 
-        for node in in_map:
+        # the reference stores branches in unordered_maps and builds
+        # components in their ITERATION order (BranchReduction.cpp:784-866);
+        # component order matters through careful-mode component skipping
+        if self.s.reference_order:
+            from ..utils.cpporder import umap_order
+
+            in_order = umap_order(in_map.keys())
+            out_order = umap_order(out_map.keys())
+        else:
+            in_order = list(in_map.keys())
+            out_order = list(out_map.keys())
+
+        for node in in_order:
             if visited_in[node]:
                 continue
             neighbors = in_map[node]
@@ -328,7 +361,7 @@ class BranchReduction:
             else:
                 self.branching_components.append((component, dist))
 
-        for node in out_map:
+        for node in out_order:
             if visited_out[node]:
                 continue
             neighbors = out_map[node]
@@ -396,6 +429,7 @@ class BranchReduction:
         keep_component = False
         for pair, ev in unique.items():
             count = len(sorted(set(ev)))
+            _dbg(f"BRDBG unique {pair[0]},{pair[1]} count={count}")
             if count < min_evidence:
                 edges_to_remove.append(pair)
             else:
@@ -466,6 +500,8 @@ class BranchReduction:
         in_deg = g.in_degree()
         branch_out = [v for v in range(g.n) if out_deg[v] > 1]
         branch_in = [v for v in range(g.n) if in_deg[v] > 1]
+        _dbg("BRDBG branch_in: " + " ".join(map(str, branch_in)))
+        _dbg("BRDBG branch_out: " + " ".join(map(str, branch_out)))
 
         missing_edges: List[dict] = []
         final_in: Dict[int, Tuple[List[int], int]] = {}
@@ -517,6 +553,9 @@ class BranchReduction:
                 if comp_idx != idx and comp_idx in components_kept:
                     edges_to_remove.extend(component)
                     skip = True
+            if _TRACE:
+                pairs = " ".join(f"{a},{b}" for a, b in component)
+                _dbg(f"BRDBG component idx={idx} dist={dist} skip={int(skip)} pairs: {pairs}")
             if skip:
                 continue
             if dist in self.thresholds:
@@ -526,7 +565,10 @@ class BranchReduction:
             else:
                 edges_to_remove.extend(component)
 
-        for pair in sorted(set(edges_to_remove)):
+        final_removals = sorted(set(edges_to_remove))
+        _dbg("BRDBG edges_to_remove: "
+             + " ".join(f"{a},{b}" for a, b in final_removals))
+        for pair in final_removals:
             edge = g.remove_edge(pair[0], pair[1])
             g.branching_edges.append(edge)
 

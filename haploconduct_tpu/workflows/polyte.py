@@ -179,9 +179,15 @@ class _AssemblyLoop:
         read_counts = [self.original_readcount]
         overlap_counts = [len(overlaps)]
         edge_counts: List[int] = [1]
-        alive = True
+        # Loop semantics mirror the reference exactly (polyte.py:616-640):
+        # a 0-edge iteration exits the binary BEFORE writing outputs, so the
+        # previous contig/overlap files stay in place and the unconditional
+        # BranchReduction iteration (and the final cleanup) still run on
+        # that stale state. Until the first successful iteration no
+        # singles.fastq exists at all, so read_counts records 0.
+        produced = [False]
 
-        def step(settings: Settings, final_it: bool = False) -> bool:
+        def step(settings: Settings, final_it: bool = False) -> None:
             self.iteration += 1
             res = run_iteration(
                 state["store"], state["overlaps"], settings, state["subreads"],
@@ -190,8 +196,11 @@ class _AssemblyLoop:
             )
             self.history.append(dict(iteration=self.iteration, **res.stats))
             if res.terminated:
+                read_counts.append(len(state["store"]) if produced[0] else 0)
+                overlap_counts.append(len(state["overlaps"]) if produced[0] else 0)
                 edge_counts.append(-2)
-                return False
+                return
+            produced[0] = True
             state["store"], state["subreads"] = res.store, res.subreads
             if len(res.store) > 0:
                 state["overlaps"] = single_end_candidates(
@@ -201,23 +210,22 @@ class _AssemblyLoop:
             read_counts.append(len(res.store))
             overlap_counts.append(len(state["overlaps"]))
             edge_counts.append(res.stats.get("n_edges_final", 0))
-            return True
 
         branch_red_on = cfg.hap_cov > 0
         if EC:
-            alive = step(self._settings(
+            step(self._settings(
                 first_it=True, cliques=True, EC=True,
                 min_clique_size=min_clique_size, edge_threshold=0.95,
                 min_overlap_len=self.mol_ec, branch_red=False,
                 error_rate=error_rate, diploid=diploid, final_it=False))
         elif diploid:
-            alive = step(self._settings(
+            step(self._settings(
                 first_it=False, cliques=True, EC=False,
                 min_clique_size=min_clique_size, edge_threshold=1.0,
                 min_overlap_len=min_overlap_len, branch_red=branch_red_on,
                 error_rate=error_rate, diploid=diploid, final_it=False))
         else:
-            alive = step(self._settings(
+            step(self._settings(
                 first_it=True, cliques=True, EC=False,
                 min_clique_size=min_clique_size, edge_threshold=0.95,
                 min_overlap_len=self.mol_ec, branch_red=False,
@@ -235,27 +243,24 @@ class _AssemblyLoop:
             final_it=False)
 
         const_read_its = 0
-        while alive and read_counts[-1] > 0 and overlap_counts[-1] > 0 \
+        while read_counts[-1] > 0 and overlap_counts[-1] > 0 \
                 and edge_counts[-1] > 0 and const_read_its < 2:
-            while alive and read_counts[-1] > 0 and overlap_counts[-1] > 0 \
+            while read_counts[-1] > 0 and overlap_counts[-1] > 0 \
                     and edge_counts[-1] > 0 and const_read_its < 2:
-                alive = step(merge_s)
-                if not alive:
-                    break
+                step(merge_s)
                 const_read_its = const_read_its + 1 if read_counts[-1] == read_counts[-2] else 0
-            if not alive:
-                break
-            alive = step(br_s)
-            if alive:
-                const_read_its = const_read_its + 1 if read_counts[-1] == read_counts[-2] else 0
+            step(br_s)
+            const_read_its = const_read_its + 1 if read_counts[-1] == read_counts[-2] else 0
 
-        if alive and read_counts[-1] > 0:
+        if read_counts[-1] > 0:
             final_s = self._settings(
                 first_it=False, cliques=False, EC=False, min_clique_size=2,
                 edge_threshold=1.0, min_overlap_len=min_overlap_len,
                 branch_red=False, error_rate=error_rate, diploid=diploid,
                 final_it=True)
             step(final_s, final_it=True)
+        if not produced[0]:
+            return None, None
         return state["store"], state["subreads"]
 
 

@@ -147,3 +147,19 @@ def test_stage_a_parity_ref_guided(tmp_path):
     stage_dir = run_reference_stage_a(tmp_path, overlaps)
     res = run_our_stage_a(store, overlaps)
     assert_exact_parity(stage_dir, res)
+
+
+def test_polyte_parity(tmp_path):
+    """Bit-identical POLYTE parity on polyte/example: the reference binary
+    driven through the full polyte iteration scheme (tools/refbuild/
+    run_reference_polyte.py) vs our in-memory workflow, identical per-
+    iteration candidates from the shared k-mer engine; every iteration's
+    contig fastq and subreads.txt must match byte-for-byte, through the
+    main assembly round AND the diploid merge round (~15 min)."""
+    build_reference_binary()
+    sys.path.insert(0, "/root/repo/tools")
+    sys.argv = ["polyte_parity_debug.py", str(tmp_path / "polyte"), "--diploid"]
+    import polyte_parity_debug
+
+    first_diff = polyte_parity_debug.main()
+    assert first_diff is None, f"POLYTE diverges at iteration {first_diff}"
