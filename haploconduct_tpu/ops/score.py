@@ -50,9 +50,36 @@ class TaskScores(NamedTuple):
     rejected: np.ndarray  # hard per-position reject (p < mismatch_thresh)
 
 
+@functools.lru_cache(maxsize=4)
+def _phred_lut(dtype_name: str) -> np.ndarray:
+    """Per-phred error probability, tabulated once (quals are uint8, so
+    256 entries cover every input; each entry is the same elementwise
+    expression the direct computation would evaluate -> bit-identical)."""
+    q = np.arange(256, dtype=np.dtype(dtype_name))
+    return np.power(10.0, -q / 10.0).astype(np.dtype(dtype_name))
+
+
 def phred_probs(quals: np.ndarray, dtype=np.float64) -> np.ndarray:
     """Phred (integer, ASCII-33 already removed) -> error probability."""
+    if quals.dtype == np.uint8:
+        return _phred_lut(np.dtype(dtype).name)[quals]
     return np.power(10.0, -quals.astype(dtype) / 10.0).astype(dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _pair_luts():
+    """(p, log p) keyed by (q1, q2, match) — the same-haplotype probability
+    algebra of EdgeCalculator.cpp:26-63 tabulated over all 256x256 phred
+    pairs. Entries are computed with the identical elementwise float64
+    expressions as the direct path, so gathered results are bit-identical;
+    this removes the per-position pow/log transcendentals (the 10x-scale
+    profile's top two hotspots)."""
+    p1 = _phred_lut("float64")[:, None]
+    p2 = _phred_lut("float64")[None, :]
+    p_match = (1.0 - p1) * (1.0 - p2) + (p1 * p2) / 3.0
+    p_mis = (p1 * (1.0 - p2) + p2 * (1.0 - p1)) / 3.0 + (2.0 / 9.0) * p1 * p2
+    return (p_match.ravel(), p_mis.ravel(),
+            np.log(p_match).ravel(), np.log(p_mis).ravel())
 
 
 # --------------------------------------------------------------------------
@@ -94,15 +121,19 @@ def score_tasks_numpy(
     either_n = (a_shift >= N_CODE) | (b >= N_CODE)  # N or PAD
     counted_mask = valid & ~either_n
 
-    p1 = phred_probs(qa_shift)
-    p2 = phred_probs(qb)
     match = a_shift == b
-    p_match = (1.0 - p1) * (1.0 - p2) + (p1 * p2) / 3.0
-    p_mis = (p1 * (1.0 - p2) + p2 * (1.0 - p1)) / 3.0 + (2.0 / 9.0) * p1 * p2
-    p = np.where(match, p_match, p_mis)
+    # (q1, q2) -> probability via the tabulated pair algebra (bit-identical
+    # to computing pow/log per position; see _pair_luts)
+    lut_match, lut_mis, lut_logm, lut_logx = _pair_luts()
+    pair_idx = (qa_shift.astype(np.int32) << 8) | qb
+    log_p = np.where(match, lut_logm[pair_idx], lut_logx[pair_idx])
 
-    rejected = np.any(counted_mask & (p < mismatch_thresh), axis=1)
-    sum_log = np.sum(np.where(counted_mask, np.log(p), 0.0), axis=1)
+    if mismatch_thresh > 0.0:
+        p = np.where(match, lut_match[pair_idx], lut_mis[pair_idx])
+        rejected = np.any(counted_mask & (p < mismatch_thresh), axis=1)
+    else:
+        rejected = np.zeros(B, dtype=bool)
+    sum_log = np.sum(np.where(counted_mask, log_p, 0.0), axis=1)
     counted = np.sum(counted_mask, axis=1).astype(np.int64)
     mismatches = np.sum(counted_mask & ~match, axis=1).astype(np.int64)
 
