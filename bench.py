@@ -104,7 +104,60 @@ def bench_cpu(packed, lens, row_a, row_b, pos):
     return n / dt
 
 
+def bench_e2e(backend: str = "numpy"):
+    """End-to-end savage/example stage a (VERDICT r1 task 8): candidates +
+    all iterations, with the per-phase breakdown from StageResult.phase_times.
+
+    The comparable reference number is 6.8s — bin/ViralQuasispecies driven by
+    pipeline_per_stage.py on this host given PRECOMPUTED candidates
+    (BASELINE.md; rust-overlaps is excluded there, so `stage_wall` is the
+    apples-to-apples figure and candidate time is reported separately)."""
+    from haploconduct_tpu.core.reads import ReadStore
+    from haploconduct_tpu.workflows.savage import denovo_candidates
+    from haploconduct_tpu.assemble.stages import StageParams, run_stage
+
+    ex = "/root/reference/savage/example/input_fas"
+    store = ReadStore.from_files(
+        singles=f"{ex}/singles.fastq", paired1=f"{ex}/paired1.fastq",
+        paired2=f"{ex}/paired2.fastq")
+
+    t0 = time.perf_counter()
+    overlaps = denovo_candidates(store, 200, 50)
+    t_cand = time.perf_counter() - t0
+
+    params = StageParams(stage="a", min_overlap_len=200, edge_threshold=0.97,
+                         remove_branches=True, max_tip_len=415,
+                         original_readcount=len(store), backend=backend)
+    t1 = time.perf_counter()
+    res = run_stage(params, store, overlaps)
+    t_stage = time.perf_counter() - t1
+
+    ref_stage_wall = 6.8  # reference binary, same host, precomputed candidates
+    out = {
+        "metric": "savage/example stage-a wall-clock",
+        "value": round(t_stage, 2),
+        "unit": "s",
+        "vs_baseline": round(ref_stage_wall / t_stage, 2),
+        "candidates_s": round(t_cand, 2),
+        "total_s": round(t_cand + t_stage, 2),
+        "iterations": res.iterations,
+        "n_candidates": int(len(overlaps)),
+        "n_contigs": len(res.store),
+        "backend": backend,
+        "phases": res.phase_times,
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def main():
+    if "--e2e" in sys.argv:
+        backend = "numpy"
+        for a in sys.argv[1:]:
+            if a.startswith("--backend="):
+                backend = a.split("=", 1)[1]
+        return bench_e2e(backend)
+
     n_tasks = int(os.environ.get("BENCH_TASKS", 65536))  # one kernel chunk
     packed, lens, row_a, row_b, pos = build_workload(n_tasks)
 

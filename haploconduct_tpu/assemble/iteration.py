@@ -27,6 +27,7 @@ from ..io.overlaps import empty_overlaps, read_overlaps
 from ..io.subreads import SubreadDict, trivial_subreads
 from ..ops.verify import length_prefilter, verify_overlaps
 from ..utils.config import Settings
+from ..utils.log import PhaseTimer
 from .fno import FNO1, find_next_overlaps3
 from .superreads import SuperreadBuilder
 
@@ -60,17 +61,22 @@ def run_iteration(
     original_store: Optional[ReadStore] = None,
     threshold_table: Optional[dict] = None,
     logger=None,
+    timer: Optional[PhaseTimer] = None,
 ) -> IterationResult:
     if originals_dict is None:
         assert s.first_it, "originals dict required unless first iteration"
         originals_dict = trivial_originals(store)
+    if timer is None:
+        timer = PhaseTimer(verbose=s.verbose)
 
     graph = OverlapGraph(len(store), store, s)
-    packed = store.pack()
+    with timer("pack"):
+        packed = store.pack()
 
     # ---- edge construction (EdgeCalculator::construct_edges)
-    scored_mask, nonedge_prefilter = length_prefilter(overlaps, s)
-    res = verify_overlaps(store, packed, overlaps[scored_mask], s)
+    with timer("verify"):
+        scored_mask, nonedge_prefilter = length_prefilter(overlaps, s)
+        res = verify_overlaps(store, packed, overlaps[scored_mask], s)
     graph.insert_candidates(res.edges)
     # nonedge overlaps = prefiltered-out + scored-but-subthreshold
     nonedge = np.concatenate([overlaps[nonedge_prefilter],
@@ -85,31 +91,37 @@ def run_iteration(
         inclusion_count=graph.inclusion_count,
     )
     if graph.edge_count == 0:
+        stats["phase_times"] = {k: round(v, 4) for k, v in timer.times.items()}
         return IterationResult(None, None, [], True, stats)
 
     # ---- orientation labelling
-    graph.sort_edges()
-    stats["conflicts"] = algos.vertex_labelling_heuristic(graph)
-    graph.check_no_duplicate_edges()
+    with timer("labelling"):
+        graph.sort_edges()
+        stats["conflicts"] = algos.vertex_labelling_heuristic(graph)
+        graph.check_no_duplicate_edges()
 
-    if s.ignore_inclusions:
-        algos.remove_inclusions(graph)
-    algos.remove_transitive_edges(graph)
+    with timer("graph_cleanup"):
+        if s.ignore_inclusions:
+            algos.remove_inclusions(graph)
+        algos.remove_transitive_edges(graph)
 
-    if s.remove_tips:
-        algos.remove_tips(graph)
+        if s.remove_tips:
+            algos.remove_tips(graph)
 
     if s.branch_reduction:
         from .branch_reduction import read_based_branch_reduction
 
-        read_based_branch_reduction(graph, originals_dict, original_store, threshold_table)
+        with timer("branch_reduction"):
+            read_based_branch_reduction(graph, originals_dict, original_store, threshold_table)
     elif s.remove_branches:
-        algos.remove_branches(graph)
+        with timer("graph_cleanup"):
+            algos.remove_branches(graph)
 
     # ---- cycle removal
-    graph.sort_edges()
-    remove_backedges = not s.error_correction
-    algos.cycle_removal_heuristic(graph, remove_backedges)
+    with timer("graph_cleanup"):
+        graph.sort_edges()
+        remove_backedges = not s.error_correction
+        algos.cycle_removal_heuristic(graph, remove_backedges)
     stats["n_edges_final"] = graph.edge_count
     stats["backedges"] = graph.backedge_count
 
@@ -119,35 +131,41 @@ def run_iteration(
     # ---- superread construction
     builder = SuperreadBuilder(store, graph, s, originals_dict)
     if s.cliques:
-        if s.reference_order:
-            from ..graph.cliques import enumerate_cliques_ref
+        with timer("cliques"):
+            if s.reference_order:
+                from ..graph.cliques import enumerate_cliques_ref
 
-            u, v = graph.graph_txt_pairs()
-            cliques = enumerate_cliques_ref(graph.n, u, v)
-        else:
-            v1, v2 = graph.edge_endpoints()
-            incl = np.flatnonzero(graph.inclusions)
-            keep = ~(np.isin(v1, incl) | np.isin(v2, incl)) if len(incl) else np.ones(len(v1), bool)
-            cliques = enumerate_cliques(graph.n, v1[keep], v2[keep])
-        builder.cliques_to_superreads(cliques)
+                u, v = graph.graph_txt_pairs()
+                cliques = enumerate_cliques_ref(graph.n, u, v)
+            else:
+                v1, v2 = graph.edge_endpoints()
+                incl = np.flatnonzero(graph.inclusions)
+                keep = ~(np.isin(v1, incl) | np.isin(v2, incl)) if len(incl) else np.ones(len(v1), bool)
+                cliques = enumerate_cliques(graph.n, v1[keep], v2[keep])
+        with timer("superreads"):
+            builder.cliques_to_superreads(cliques)
         stats["n_cliques"] = len(cliques)
     else:
-        graph.sort_edges()
-        builder.merge_along_edges()
+        with timer("superreads"):
+            graph.sort_edges()
+            builder.merge_along_edges()
 
     stats["sr_singles"] = len(builder.single_SR)
     stats["sr_paired"] = len(builder.paired_SR)
     stats["sr_trivials"] = len(builder.trivial_SR)
 
     # ---- next-iteration overlaps
-    if s.fno == 1:
-        fno = FNO1(builder)
-        lines = fno.run(nonedge_overlaps=None if s.optimize else nonedge)
-    else:
-        lines = find_next_overlaps3(builder)
+    with timer("fno"):
+        if s.fno == 1:
+            fno = FNO1(builder)
+            lines = fno.run(nonedge_overlaps=None if s.optimize else nonedge)
+        else:
+            lines = find_next_overlaps3(builder)
     stats["next_overlaps"] = len(lines)
 
-    next_store, next_subreads = builder.build_next_store()
+    with timer("next_store"):
+        next_store, next_subreads = builder.build_next_store()
+    stats["phase_times"] = {k: round(v, 4) for k, v in timer.times.items()}
     if logger is not None:
         logger.iteration(s, stats, graph)
     return IterationResult(next_store, next_subreads, lines, False, stats)

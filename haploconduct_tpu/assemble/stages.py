@@ -30,6 +30,7 @@ class StageResult:
     overlap_lines: List[str]
     iterations: int
     history: List[dict] = field(default_factory=list)
+    phase_times: dict = field(default_factory=dict)  # accumulated across its
 
 
 @dataclass
@@ -109,15 +110,17 @@ def run_stage(
     if p.stage == "a":
         read_counts.append(p.original_readcount or len(store))
 
-    from ..utils.log import RunLogger
+    from ..utils.log import PhaseTimer, RunLogger
 
     logger = RunLogger(p.output_dir or None)
+    timer = PhaseTimer(verbose=p.verbose)  # shared: accumulates across iterations
 
     def step(settings: Settings) -> bool:
         """Run one iteration; returns False when the pipeline terminated."""
         nonlocal cur_store, cur_sub, cur_lines, cur_overlaps, iteration
         iteration += 1
-        res = run_iteration(cur_store, cur_overlaps, settings, cur_sub, logger=logger)
+        res = run_iteration(cur_store, cur_overlaps, settings, cur_sub,
+                            logger=logger, timer=timer)
         history.append(dict(iteration=iteration, mode=_mode_name(settings), **res.stats))
         if res.terminated:
             edge_counts.append(-2)
@@ -215,4 +218,5 @@ def run_stage(
         overlap_lines=cur_lines or [],
         iterations=iteration,
         history=history,
+        phase_times={k: round(v, 4) for k, v in timer.times.items()},
     )

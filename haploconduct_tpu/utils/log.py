@@ -15,6 +15,37 @@ import time
 from typing import Optional
 
 
+class PhaseTimer:
+    """Per-phase wall-clock accumulator (the reference brackets each main
+    phase with get_timestamp() pairs and prints elapsed seconds under
+    --verbose, src/ViralQuasispecies.cpp:33-38 + the per-phase prints
+    throughout main). Use as `with timer("verify"): ...`; times accumulate
+    across calls so multi-iteration runs report totals per phase."""
+
+    def __init__(self, verbose: bool = False):
+        self.times: dict = {}
+        self.verbose = verbose
+        self._stack: list = []
+
+    class _Span:
+        def __init__(self, timer: "PhaseTimer", name: str):
+            self.timer, self.name = timer, name
+
+        def __enter__(self):
+            self.t0 = time.perf_counter()
+            return self
+
+        def __exit__(self, *exc):
+            dt = time.perf_counter() - self.t0
+            self.timer.times[self.name] = self.timer.times.get(self.name, 0.0) + dt
+            if self.timer.verbose:
+                print(f"[phase] {self.name}: {dt:.3f}s")
+            return False
+
+    def __call__(self, name: str) -> "PhaseTimer._Span":
+        return self._Span(self, name)
+
+
 class RunLogger:
     def __init__(self, output_dir: Optional[str]):
         self.dir = output_dir
