@@ -104,7 +104,7 @@ def bench_cpu(packed, lens, row_a, row_b, pos):
     return n / dt
 
 
-def bench_e2e(backend: str = "numpy"):
+def bench_e2e(backend: str = "native"):
     """End-to-end savage/example stage a (VERDICT r1 task 8): candidates +
     all iterations, with the per-phase breakdown from StageResult.phase_times.
 
@@ -152,7 +152,7 @@ def bench_e2e(backend: str = "numpy"):
 
 def main():
     if "--e2e" in sys.argv:
-        backend = "numpy"
+        backend = "native"  # C++ host engine; exact decisions (ops/verify.py)
         for a in sys.argv[1:]:
             if a.startswith("--backend="):
                 backend = a.split("=", 1)[1]

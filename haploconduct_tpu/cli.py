@@ -56,7 +56,7 @@ def cmd_savage(argv) -> int:
     ap.add_argument("--no_filtering", dest="filtering", action="store_false")
     ap.add_argument("--resume", action="store_true",
                     help="reuse completed stage checkpoints in the output dir")
-    ap.add_argument("--backend", default="jax", choices=["jax", "numpy"])
+    ap.add_argument("--backend", default="jax", choices=["jax", "numpy", "native"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -117,7 +117,7 @@ def cmd_polyte(argv) -> int:
     ap.add_argument("--diploid_overlap_len", type=int)
     ap.add_argument("--average_read_len", type=float)
     ap.add_argument("--max_tip_len", type=int)
-    ap.add_argument("--backend", default="jax", choices=["jax", "numpy"])
+    ap.add_argument("--backend", default="jax", choices=["jax", "numpy", "native"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -161,7 +161,7 @@ def cmd_polyte_split(argv) -> int:
     ap.add_argument("--diploid", action="store_true")
     ap.add_argument("--mismatch_rate", dest="merge_contigs", type=float, default=0.0)
     ap.add_argument("-o", "--outdir", default=".")
-    ap.add_argument("--backend", default="jax", choices=["jax", "numpy"])
+    ap.add_argument("--backend", default="jax", choices=["jax", "numpy", "native"])
     args = ap.parse_args(argv)
     store = _load_store(args)
     cfg = PolyteSplitConfig(

@@ -64,6 +64,30 @@ class _BaselineExt:
         return (np.frombuffer(score_b, dtype=np.float64),
                 np.frombuffer(mism_b, dtype=np.float64))
 
+    def score_tasks_exact(self, codes, quals, lens, row_a, row_b, pos,
+                          mismatch_thresh, min_read_len, luts):
+        """Full TaskScores contract (see ops/score.py): returns
+        (score, mismatch_rate, sum_log, counted, mismatches, rejected).
+        `luts` is the _pair_luts() tuple (p_match, p_mis, log_match, log_mis)."""
+        n = len(row_a)
+        lm, lx, llm, llx = (np.ascontiguousarray(t, dtype=np.float64) for t in luts)
+        out = self._m.score_tasks_exact(
+            np.ascontiguousarray(codes, dtype=np.int8),
+            np.ascontiguousarray(quals, dtype=np.uint8),
+            np.ascontiguousarray(lens, dtype=np.int32),
+            int(codes.shape[1]),
+            np.ascontiguousarray(row_a, dtype=np.int32),
+            np.ascontiguousarray(row_b, dtype=np.int32),
+            np.ascontiguousarray(pos, dtype=np.int32),
+            n, float(mismatch_thresh), int(min_read_len), lm, lx, llm, llx)
+        score_b, mrate_b, sumlog_b, counted_b, mism_b, rej_b = out
+        return (np.frombuffer(score_b, dtype=np.float64),
+                np.frombuffer(mrate_b, dtype=np.float64),
+                np.frombuffer(sumlog_b, dtype=np.float64),
+                np.frombuffer(counted_b, dtype=np.int64),
+                np.frombuffer(mism_b, dtype=np.int64),
+                np.frombuffer(rej_b, dtype=np.uint8).astype(bool))
+
 
 _baseline_ext: Optional[_BaselineExt] = None
 _baseline_failed = False

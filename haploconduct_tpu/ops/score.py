@@ -146,6 +146,45 @@ def score_tasks_numpy(
 
 
 # --------------------------------------------------------------------------
+# Native host backend (C++ OpenMP, float64)
+# --------------------------------------------------------------------------
+
+def score_tasks_native(
+    codes: np.ndarray,
+    quals: np.ndarray,
+    unit_lens_by_row: np.ndarray,
+    row_a: np.ndarray,
+    row_b: np.ndarray,
+    pos: np.ndarray,
+    mismatch_thresh: float = 0.0,
+    min_read_len: int = 0,
+) -> "TaskScores | None":
+    """C++ OpenMP host engine (native/baseline_score.cpp:score_tasks_exact).
+
+    One fused pass per task instead of numpy's ~10 full-matrix passes —
+    ~20x the oracle's host throughput. Per-position probabilities come from
+    the same _pair_luts() tables as the oracle, so only the serial (vs
+    pairwise) summation order differs; callers run the RECHECK_MARGIN f64
+    re-scoring (ops/verify.py) so edge decisions are bit-identical to the
+    oracle. Returns None when the extension cannot be built.
+    """
+    from ..native import load_baseline_ext
+
+    ext = load_baseline_ext()
+    if ext is None or not hasattr(ext._m, "score_tasks_exact"):
+        return None
+    B = len(row_a)
+    if B == 0:
+        z = np.zeros(0)
+        zi = np.zeros(0, dtype=np.int64)
+        return TaskScores(z, z, z, zi, zi, np.zeros(0, dtype=bool))
+    out = ext.score_tasks_exact(
+        codes, quals, unit_lens_by_row, row_a, row_b, pos,
+        mismatch_thresh, min_read_len, _pair_luts())
+    return TaskScores(*out)
+
+
+# --------------------------------------------------------------------------
 # JAX device backend (float32)
 # --------------------------------------------------------------------------
 

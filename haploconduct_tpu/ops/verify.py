@@ -25,7 +25,8 @@ import numpy as np
 
 from ..core.reads import PackedUnits, ReadStore
 from ..utils.config import Settings
-from .score import RECHECK_MARGIN, TaskScores, score_tasks_jax, score_tasks_numpy
+from .score import (RECHECK_MARGIN, TaskScores, score_tasks_jax,
+                    score_tasks_native, score_tasks_numpy)
 
 EDGE_DTYPE = np.dtype(
     [
@@ -231,7 +232,7 @@ def combine_scores(
 RECHECK_STATS = {"tasks": 0, "overlaps": 0}
 # cumulative per-backend task counts (mesh-sharded, single-device pallas,
 # XLA-gather fallback, numpy oracle)
-BACKEND_COUNTS = {"mesh": 0, "pallas": 0, "xla": 0, "numpy": 0}
+BACKEND_COUNTS = {"mesh": 0, "pallas": 0, "xla": 0, "numpy": 0, "native": 0}
 
 
 def verify_overlaps(
@@ -265,6 +266,19 @@ def verify_overlaps(
     if s.backend == "numpy":
         BACKEND_COUNTS["numpy"] += len(plan.row_first)
         ts = score_tasks_numpy(*args, **kw)
+    elif s.backend == "native":
+        # C++ OpenMP host engine; decisions made exact by the same recheck
+        # machinery as the device paths (per-position values are LUT-
+        # identical to the oracle, only summation order differs)
+        ts = score_tasks_native(*args, **kw)
+        if ts is None:  # extension unavailable -> oracle fallback
+            BACKEND_COUNTS["numpy"] += len(plan.row_first)
+            ts = score_tasks_numpy(*args, **kw)
+        else:
+            BACKEND_COUNTS["native"] += len(plan.row_first)
+            ts = _exact_mismatch_rates(plan, ts, lens_by_row, kw)
+            if s.exact and len(plan.row_first):
+                ts = _recheck_near_threshold(plan, ts, args, kw, s)
     else:
         from .pallas_score import pallas_supported, score_tasks_pallas
         from ..parallel.mesh import device_count, sharded_score_tasks

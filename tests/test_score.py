@@ -190,6 +190,41 @@ def test_verify_backends_agree():
     np.testing.assert_array_equal(r64.edges["v2"], r32.edges["v2"])
 
 
+def test_native_matches_oracle():
+    """C++ host engine (score_tasks_exact): exact integers, ulp-close scores,
+    and identical verify_overlaps edge decisions vs the f64 oracle."""
+    from haploconduct_tpu.ops.score import score_tasks_native
+
+    rng = np.random.default_rng(7)
+    store, _ = build_random_store(rng, n_single=20, n_paired=10)
+    packed = store.pack()
+    ov = random_overlaps(rng, store, 400)
+    plan, _ = plan_tasks(store, packed, ov)
+    lens_by_row = np.concatenate([packed.lens, packed.lens])
+    args = (packed.codes, packed.quals, lens_by_row,
+            plan.row_first, plan.row_second, plan.pos)
+    for kw in (dict(), dict(mismatch_thresh=0.3, min_read_len=45)):
+        ts64 = score_tasks_numpy(*args, **kw)
+        tsn = score_tasks_native(*args, **kw)
+        if tsn is None:
+            pytest.skip("native extension unavailable")
+        np.testing.assert_array_equal(ts64.counted, tsn.counted)
+        np.testing.assert_array_equal(ts64.mismatches, tsn.mismatches)
+        np.testing.assert_array_equal(ts64.rejected, tsn.rejected)
+        np.testing.assert_array_equal(ts64.mismatch_rate, tsn.mismatch_rate)
+        # serial vs pairwise summation: last-ulp only
+        np.testing.assert_allclose(tsn.score, ts64.score, rtol=1e-13)
+
+    s64 = Settings(edge_threshold=0.5, ov_threshold=0.2, backend="numpy")
+    snat = Settings(edge_threshold=0.5, ov_threshold=0.2, backend="native")
+    r64 = verify_overlaps(store, packed, ov, s64)
+    rn = verify_overlaps(store, packed, ov, snat)
+    assert len(r64.edges) == len(rn.edges)
+    np.testing.assert_array_equal(r64.nonedge_mask, rn.nonedge_mask)
+    np.testing.assert_array_equal(r64.edges["v1"], rn.edges["v1"])
+    np.testing.assert_array_equal(r64.edges["v2"], rn.edges["v2"])
+
+
 @pytest.mark.skipif(os.environ.get("RUN_TPU") != "1",
                     reason="needs the real TPU chip; set RUN_TPU=1")
 def test_pallas_kernel_matches_numpy_oracle():
