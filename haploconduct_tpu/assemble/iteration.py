@@ -121,7 +121,9 @@ def run_iteration(
     with timer("graph_cleanup"):
         graph.sort_edges()
         remove_backedges = not s.error_correction
-        algos.cycle_removal_heuristic(graph, remove_backedges)
+        backedges = algos.cycle_removal_heuristic(graph, remove_backedges)
+    if logger is not None:
+        logger.cycles(backedges)
     stats["n_edges_final"] = graph.edge_count
     stats["backedges"] = graph.backedge_count
 

@@ -29,6 +29,12 @@ class Settings:
 
     # mode switches
     first_it: bool = True
+    # WAIVED alternative orientation mode (duplicate vertex per reverse
+    # complement + equivalent edges, src/OverlapGraph.cpp:608-719 and
+    # src/ViralQuasispecies.cpp:246-270): default-false in the reference CLI
+    # and never enabled by ANY reference workflow (savage.py, polyte.py,
+    # pipeline_per_stage.py all drive the resolve_orientations path) —
+    # rejected at validation below rather than silently ignored.
     add_duplicates: bool = False
     resolve_orientations: bool = True
     error_correction: bool = False
@@ -65,6 +71,13 @@ class Settings:
     # emission order + libstdc++ unordered_map iteration order); results are
     # correct either way, but bit-identical contig parity needs this on
     reference_order: bool = True
+
+    def __post_init__(self):
+        if self.add_duplicates:
+            raise ValueError(
+                "add_duplicates (duplicate-vertex orientation mode) is waived: "
+                "no reference workflow enables it; use resolve_orientations "
+                "(the default) instead. See docs/COVERAGE.md.")
 
     def derive(self, **kwargs) -> "Settings":
         return replace(self, **kwargs)

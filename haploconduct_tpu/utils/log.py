@@ -78,6 +78,17 @@ class RunLogger:
         if graph is not None:
             self.write_gfa(graph, "graph_trimmed.gfa")
 
+    def cycles(self, backedges) -> None:
+        """Append detected cycle back-edges to cycles.txt (the reference
+        reports every back-edge found during cycle removal,
+        src/OverlapGraph.cpp:548-562 via GraphAlgos.cpp:536; one
+        tab-separated (u, v) pair per line, appended across iterations)."""
+        if not self.dir or not backedges:
+            return
+        with open(os.path.join(self.dir, "cycles.txt"), "a") as f:
+            for u, v in sorted(backedges):
+                f.write(f"{u}\t{v}\n")
+
     def write_gfa(self, graph, name: str) -> None:
         if not self.dir:
             return

@@ -217,3 +217,21 @@ def test_freq_est_quick():
     # contig 0 has 2x the reads but 2x the length -> similar frequency
     f = dict(zip(res.contig_ids, res.frequencies))
     assert f[0] == pytest.approx(f[1], rel=0.01)
+
+
+def test_add_duplicates_waived():
+    from haploconduct_tpu.utils.config import Settings
+
+    with pytest.raises(ValueError, match="add_duplicates"):
+        Settings(add_duplicates=True)
+
+
+def test_cycles_txt_reporting(tmp_path):
+    from haploconduct_tpu.utils.log import RunLogger
+
+    logger = RunLogger(str(tmp_path))
+    logger.cycles({(3, 1), (0, 2)})
+    logger.cycles(set())  # no-op append
+    logger.cycles({(5, 4)})
+    lines = (tmp_path / "cycles.txt").read_text().splitlines()
+    assert lines == ["0\t2", "3\t1", "5\t4"]
