@@ -150,7 +150,52 @@ def bench_e2e(backend: str = "native"):
     return 0
 
 
+def bench_candidates():
+    """Candidate-generation throughput (VERDICT r1 task 6): the TPU
+    sort-join (ops/kmer_device.py) vs the host k-mer engine (ops/kmer.py)
+    on a POLYTE-style exact re-overlap workload (contig-scale sequences,
+    error_rate=0). Reported as candidate overlaps emitted per second."""
+    from haploconduct_tpu.core.reads import encode_seq
+    from haploconduct_tpu.ops.kmer import find_overlap_candidates
+    from haploconduct_tpu.ops.kmer_device import find_overlap_candidates_device
+    from haploconduct_tpu.utils.simulate import random_genome, simulate_reads
+
+    rng = np.random.default_rng(0)
+    genome = random_genome(rng, 20000)
+    seqs_s, _ = simulate_reads([genome], coverage=15, read_len=600, rng=rng,
+                               error_rate=0.0)
+    seqs = [encode_seq(s) for s in seqs_s]
+
+    t0 = time.perf_counter()
+    host = find_overlap_candidates(seqs, min_overlap_len=50, k=20,
+                                   error_rate=0.0, verify=True, subsample=1)
+    t_host = time.perf_counter() - t0
+
+    # compile + warmup, then timed run
+    find_overlap_candidates_device(seqs, min_overlap_len=50, error_rate=0.0,
+                                   verify=True)
+    t0 = time.perf_counter()
+    dev = find_overlap_candidates_device(seqs, min_overlap_len=50,
+                                         error_rate=0.0, verify=True)
+    t_dev = time.perf_counter() - t0
+
+    assert len(dev) == len(host), (len(dev), len(host))
+    print(json.dumps({
+        "metric": "candidate overlaps/s (device sort-join)",
+        "value": round(len(dev) / t_dev),
+        "unit": "candidates/s",
+        "vs_baseline": round(t_host / t_dev, 2),
+        "n_seqs": len(seqs),
+        "n_candidates": int(len(dev)),
+        "host_s": round(t_host, 3),
+        "device_s": round(t_dev, 3),
+    }))
+    return 0
+
+
 def main():
+    if "--cands" in sys.argv:
+        return bench_candidates()
     if "--e2e" in sys.argv:
         backend = "native"  # C++ host engine; exact decisions (ops/verify.py)
         for a in sys.argv[1:]:

@@ -118,6 +118,9 @@ def cmd_polyte(argv) -> int:
     ap.add_argument("--average_read_len", type=float)
     ap.add_argument("--max_tip_len", type=int)
     ap.add_argument("--backend", default="jax", choices=["jax", "numpy", "native"])
+    ap.add_argument("--candidates", default="auto",
+                    choices=["auto", "host", "device"],
+                    help="per-iteration re-overlap engine (device = TPU sort-join)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -131,7 +134,7 @@ def cmd_polyte(argv) -> int:
         diploid=args.diploid, diploid_contig_len=args.diploid_contig_len,
         diploid_overlap_len=args.diploid_overlap_len,
         average_read_len=args.average_read_len, max_tip_len=args.max_tip_len,
-        backend=args.backend, verbose=args.verbose,
+        backend=args.backend, candidates=args.candidates, verbose=args.verbose,
     )
     res = run_polyte(store, cfg)
     os.makedirs(args.outdir, exist_ok=True)

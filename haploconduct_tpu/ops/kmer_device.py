@@ -91,7 +91,26 @@ def _build_join(R: int, W: int, k: int, expand: int, max_group: int):
         sh = jnp.concatenate([sh1, sh2])
         rev = jnp.concatenate([jnp.zeros_like(v1, jnp.int32),
                                jnp.ones_like(v2, jnp.int32)])
-        return valid, qa, tb, sh, rev
+        # Dedup + compact ON DEVICE so the host fetches only the unique
+        # (idA, idB, shift, rev) diagonals instead of the full
+        # R*NK*expand*2-slot buffer (4.4M valid slots -> ~10-100k uniques
+        # on contig workloads; on a tunneled chip the un-compacted fetch
+        # dominated the whole candidate step). Keys are two int32 lanes
+        # ((qa<<16)|tb needs R < 2^16 — asserted by the caller); invalid
+        # slots sort last via the leading inv lane.
+        inv = jnp.logical_not(valid).astype(jnp.int32)
+        key1 = (qa << 16) | tb
+        key2 = ((sh + (1 << 23)) << 1) | rev
+        inv_s, k1s, k2s, qs, ts, ss, rs = jax.lax.sort(
+            (inv, key1, key2, qa, tb, sh, rev), num_keys=3)
+        first = jnp.concatenate([
+            jnp.ones(1, jnp.bool_),
+            (inv_s[1:] != inv_s[:-1]) | (k1s[1:] != k1s[:-1])
+            | (k2s[1:] != k2s[:-1])])
+        keep = first & (inv_s == 0)
+        order = jnp.argsort(jnp.logical_not(keep), stable=True)
+        n_unique = jnp.sum(keep).astype(jnp.int32)
+        return qs[order], ts[order], ss[order], rs[order], n_unique
 
     return jax.jit(run)
 
@@ -134,6 +153,7 @@ def find_overlap_candidates_device(
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
     if n == 0:
         return np.zeros(0, dtype=SFO_DTYPE)
+    assert n < (1 << 16), "device join packs (idA, idB) into one int32 lane"
     w = int(lens.max())
     codes_fwd = np.full((n, w), PAD_CODE, np.int8)
     codes_rev = np.full((n, w), PAD_CODE, np.int8)
@@ -142,9 +162,11 @@ def find_overlap_candidates_device(
         codes_rev[i, :len(s)] = revcomp_codes(s)
 
     join = _build_join(n, w, min(k, 15), expand, max_group)
-    valid, qa, tb, sh, rev = (np.asarray(x) for x in
-                              join(jnp.asarray(codes_fwd), jnp.asarray(codes_rev)))
-    qa, tb, sh, rev = qa[valid], tb[valid], sh[valid], rev[valid]
+    d_qa, d_tb, d_sh, d_rev, d_n = join(jnp.asarray(codes_fwd),
+                                        jnp.asarray(codes_rev))
+    nv = int(d_n)
+    # fetch only the compacted valid prefix (device-side slice, tiny copy)
+    qa, tb, sh, rev = (np.asarray(x[:nv]) for x in (d_qa, d_tb, d_sh, d_rev))
 
     # frame mapping + canonicalization (same algebra as the host engine)
     la = lens[qa]

@@ -55,6 +55,10 @@ class PolyteConfig:
     original_PE_count: int = -1
     backend: str = "jax"
     kmer_k: int = 20
+    # per-iteration re-overlap engine: "auto" uses the TPU sort-join
+    # (ops/kmer_device.py) for exact passes when an accelerator is present,
+    # host k-mer join otherwise; "host"/"device" force one
+    candidates: str = "auto"
     verbose: bool = False
 
 
@@ -91,18 +95,61 @@ def concat_to_single_end(store: ReadStore) -> ReadStore:
     return out
 
 
+def _device_candidates_ok(min_overlap_len: int, sfo_err: float, n: int) -> bool:
+    """The device join (ops/kmer_device.py, k<=15) provably finds the same
+    verified candidate set as the host engine (k=20) only for EXACT
+    re-overlap passes: with error_rate=0 every surviving candidate is a
+    0-mismatch diagonal overlap of length >= min_overlap_len, and any such
+    overlap contains exact k-mers for both k=15 and k=20 at full seed
+    density — so the two engines' verified outputs coincide whenever
+    min_overlap_len >= 20 (above 1500 sequences the host engine subsamples
+    seeds, so there the device set is the *complete* one and the host's a
+    documented-miss-rate subset). Approximate passes (sfo_err > 0)
+    seed-match differently between k=15 and k=20, so those stay on the
+    host engine."""
+    return sfo_err == 0.0 and min_overlap_len >= 20 and 0 < n < (1 << 16)
+
+
+def _resolve_engine(engine: str, min_overlap_len: int, sfo_err: float,
+                    n: int) -> str:
+    if engine == "device" or (engine == "auto"
+                              and _device_candidates_ok(min_overlap_len, sfo_err, n)):
+        if engine == "device" or _jax_accelerator():
+            return "device"
+    return "host"
+
+
+def _jax_accelerator() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # jax unavailable/misconfigured -> host engine
+        return False
+
+
 def single_end_candidates(store: ReadStore, min_overlap_len: int, sfo_err: float,
-                          k: int = 20) -> np.ndarray:
+                          k: int = 20, engine: str = "host") -> np.ndarray:
     seqs = [store.unit_codes(store.unit1[i]) for i in range(len(store))]
-    # Seed density: the initial read-scale join (thousands of sequences,
-    # S = m-k+1 >> 80 shared k-mers per true overlap) safely uses
-    # content-based subsampling; later contig-scale iterations (smaller
-    # stores, mismatch-rate merging sensitive to individual candidates)
-    # keep full density.
-    subsample = None if len(seqs) > 1500 else 1
-    sfo = find_overlap_candidates(seqs, min_overlap_len=min_overlap_len, k=k,
-                                  error_rate=sfo_err, verify=True,
-                                  subsample=subsample)
+    if _resolve_engine(engine, min_overlap_len, sfo_err, len(seqs)) == "device":
+        # TPU sort-join (replaces the reference's per-iteration rust-overlaps
+        # rerun, polyte.py:739-746); identical verified output to the host
+        # engine for exact passes (see _device_candidates_ok)
+        from ..ops.kmer_device import find_overlap_candidates_device
+
+        sfo = find_overlap_candidates_device(
+            seqs, min_overlap_len=min_overlap_len, error_rate=sfo_err,
+            verify=True)
+    else:
+        # Seed density: the initial read-scale join (thousands of sequences,
+        # S = m-k+1 >> 80 shared k-mers per true overlap) safely uses
+        # content-based subsampling; later contig-scale iterations (smaller
+        # stores, mismatch-rate merging sensitive to individual candidates)
+        # keep full density.
+        subsample = None if len(seqs) > 1500 else 1
+        sfo = find_overlap_candidates(seqs, min_overlap_len=min_overlap_len,
+                                      k=k, error_rate=sfo_err, verify=True,
+                                      subsample=subsample)
     ov = sfo_to_overlaps(sfo, num_singles=len(seqs), num_pairs=0)
     # candidate ids are positional; remap to the store's actual read ids
     # (differs in split mode, where region stores keep global ids)
@@ -204,7 +251,8 @@ class _AssemblyLoop:
             state["store"], state["subreads"] = res.store, res.subreads
             if len(res.store) > 0:
                 state["overlaps"] = single_end_candidates(
-                    res.store, min_overlap_len, 0.0, cfg.kmer_k)
+                    res.store, min_overlap_len, 0.0, cfg.kmer_k,
+                    engine=cfg.candidates)
             else:
                 state["overlaps"] = empty_overlaps(0)
             read_counts.append(len(res.store))

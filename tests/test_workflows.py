@@ -42,6 +42,47 @@ def test_polyte_diploid_synthetic():
     assert any(top in h or revcomp_str(top) in h for h in (hap1, hap2))
 
 
+def test_polyte_device_candidates_match_host():
+    """The per-iteration re-overlap engines must be interchangeable: a full
+    POLYTE run with candidates="device" (TPU sort-join, forced on the CPU
+    jax backend here) produces the same contigs as candidates="host"."""
+    from haploconduct_tpu.workflows.polyte import PolyteConfig, run_polyte
+
+    rng = np.random.default_rng(42)
+    hap1 = random_genome(rng, 3000)
+    hap2 = mutate_sequence(hap1, rng, sub_rate=0.01)
+    seqs, quals = simulate_reads([hap1, hap2], coverage=20, read_len=150,
+                                 rng=rng, error_rate=0.0)
+    results = []
+    for engine in ("host", "device"):
+        cfg = PolyteConfig(hap_cov=20, insert_size=150, stddev=15,
+                           backend="numpy", min_overlap_len=60,
+                           min_overlap_len_EC=77, candidates=engine)
+        res = run_polyte(make_store(seqs, quals), cfg)
+        assert res.store is not None
+        recs = sorted(decode_seq(res.store.unit_codes(res.store.unit1[i]))
+                      for i in range(len(res.store)))
+        results.append(recs)
+    assert results[0] == results[1]
+
+
+def test_single_end_candidates_engine_equality():
+    """Exact passes (error_rate=0): device and host joins emit the same
+    verified overlap set on contig-scale sequences."""
+    from haploconduct_tpu.workflows.polyte import single_end_candidates
+
+    rng = np.random.default_rng(9)
+    genome = random_genome(rng, 4000)
+    seqs, quals = simulate_reads([genome], coverage=6, read_len=400, rng=rng,
+                                 error_rate=0.0)
+    store = make_store(seqs, quals)
+    host = single_end_candidates(store, 50, 0.0, engine="host")
+    dev = single_end_candidates(store, 50, 0.0, engine="device")
+    assert len(host) == len(dev) > 0
+    for f in host.dtype.names:
+        np.testing.assert_array_equal(host[f], dev[f])
+
+
 def test_strain_count_synthetic():
     from haploconduct_tpu.io.sam import SamRecord
     from haploconduct_tpu.workflows.strain_count import estimate_strain_count
