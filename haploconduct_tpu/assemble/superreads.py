@@ -271,27 +271,47 @@ class SuperreadBuilder:
         out_base = np.concatenate([[0], np.cumsum(widths)])
         W_total = int(out_base[-1])
 
-        gpos_parts: List[np.ndarray] = []
-        code_parts: List[np.ndarray] = []
-        qual_parts: List[np.ndarray] = []
+        # flatten every live job's members once, then build all window
+        # gathers with cumsum index arithmetic (no per-member Python loop);
+        # the flat order — members in job order, positions ascending — is
+        # exactly the order the loop it replaces emitted, so the bincount
+        # accumulation below stays bit-identical
+        seq_all: List[np.ndarray] = []
+        qual_all: List[np.ndarray] = []
+        m_pos_l: List = []
+        m_trim_l: List = []
+        m_stop_l: List = []
+        m_base_l: List = []
         for i, j in enumerate(live):
             total_len, pos_list, seq_list, qual_list, ec = jobs[j]
-            trim_pos, stop = trims[i], stops[i]
-            base = int(out_base[i])
-            for sq, ql, p0 in zip(seq_list, qual_list, pos_list):
-                a = max(int(p0), trim_pos)
-                b = min(int(p0) + len(sq), stop)
-                if a >= b:
-                    continue
-                off = a - int(p0)
-                code_parts.append(sq[off:off + (b - a)])
-                qual_parts.append(ql[off:off + (b - a)])
-                gpos_parts.append(np.arange(base + a - trim_pos,
-                                            base + b - trim_pos, dtype=np.int64))
-        if gpos_parts:
-            gpos = np.concatenate(gpos_parts)
-            w = np.concatenate(code_parts).astype(np.int64)
-            q = np.concatenate(qual_parts).astype(np.int64)
+            seq_all.extend(seq_list)
+            qual_all.extend(qual_list)
+            m_pos_l.extend(int(p) for p in pos_list)
+            n_m = len(pos_list)
+            m_trim_l.extend([trims[i]] * n_m)
+            m_stop_l.extend([stops[i]] * n_m)
+            m_base_l.extend([int(out_base[i])] * n_m)
+        m_pos = np.array(m_pos_l, dtype=np.int64)
+        m_trim = np.array(m_trim_l, dtype=np.int64)
+        m_stop = np.array(m_stop_l, dtype=np.int64)
+        m_base = np.array(m_base_l, dtype=np.int64)
+        m_len = np.fromiter((len(sq) for sq in seq_all), dtype=np.int64,
+                            count=len(seq_all))
+        a = np.maximum(m_pos, m_trim)
+        b = np.minimum(m_pos + m_len, m_stop)
+        w_len = np.maximum(b - a, 0)
+        tot = int(w_len.sum())
+        if tot:
+            seq_cat = np.concatenate(seq_all)
+            qual_cat = np.concatenate(qual_all)
+            seq_start = np.concatenate([[0], np.cumsum(m_len)[:-1]])
+            w_start = np.cumsum(w_len) - w_len
+            rep = np.repeat(np.arange(len(m_pos)), w_len)
+            offs = np.arange(tot, dtype=np.int64) - np.repeat(w_start, w_len)
+            src = seq_start[rep] + (a - m_pos)[rep] + offs
+            gpos = m_base[rep] + (a - m_trim)[rep] + offs
+            w = seq_cat[src].astype(np.int64)
+            q = qual_cat[src].astype(np.int64)
         else:
             gpos = np.zeros(0, np.int64)
             w = np.zeros(0, np.int64)

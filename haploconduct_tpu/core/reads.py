@@ -155,6 +155,18 @@ class ReadStore:
         return store
 
     # ------------------------------------------------------------ accessors
+    def ids_index(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(sorted_ids, argsort_order) for vectorized id->index lookups;
+        cached and rebuilt only when reads were added (ids are append-only
+        — nothing mutates them in place)."""
+        cur = len(self.ids)
+        if getattr(self, "_ids_cache_n", -1) != cur:
+            keys = np.array(self.ids, dtype=np.int64)
+            order = np.argsort(keys, kind="stable")
+            self._ids_cache = (keys[order], order)
+            self._ids_cache_n = cur
+        return self._ids_cache
+
     def __len__(self) -> int:
         return len(self.ids)
 

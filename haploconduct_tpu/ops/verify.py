@@ -100,9 +100,7 @@ def _perc(ov: np.ndarray) -> np.ndarray:
 
 
 def _id_lookup(store: ReadStore, ids: np.ndarray) -> np.ndarray:
-    keys = np.array(store.ids, dtype=np.int64)
-    order = np.argsort(keys, kind="stable")
-    sorted_keys = keys[order]
+    sorted_keys, order = store.ids_index()
     pos = np.searchsorted(sorted_keys, ids.astype(np.int64))
     if np.any(pos >= len(sorted_keys)) or np.any(sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] != ids):
         missing = ids[(pos >= len(sorted_keys)) | (sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] != ids)]
