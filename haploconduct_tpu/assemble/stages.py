@@ -53,6 +53,9 @@ class StageParams:
     verbose: bool = False
     output_dir: str = ""  # when set, per-iteration logs/stats/GFA land here
     dump_dir: str = ""  # when set, snapshot itN_{fastq,overlaps,subreads} there
+    # when set, capture a jax.profiler/xprof trace of the whole stage here
+    # (view with xprof/tensorboard); phases appear as named host spans
+    profile_dir: str = ""
 
 
 def _base_settings(p: StageParams, **overrides) -> Settings:
@@ -96,6 +99,24 @@ def run_stage(
     overlaps: np.ndarray,
     subreads: Optional[SubreadDict] = None,
 ) -> StageResult:
+    """Run a full stage; with profile_dir set, the whole run is captured
+    as a jax.profiler/xprof trace with each phase a named host span
+    (SURVEY §5 tracing: the reference only had --verbose gettimeofday
+    prints, ViralQuasispecies.cpp:33-38)."""
+    if not p.profile_dir:
+        return _run_stage(p, store, overlaps, subreads)
+    import jax.profiler
+
+    with jax.profiler.trace(p.profile_dir):
+        return _run_stage(p, store, overlaps, subreads)
+
+
+def _run_stage(
+    p: StageParams,
+    store: ReadStore,
+    overlaps: np.ndarray,
+    subreads: Optional[SubreadDict] = None,
+) -> StageResult:
     mol_ec = p.min_overlap_len_EC if p.min_overlap_len_EC else p.min_overlap_len
     keep_singletons = max(p.min_overlap_len, p.min_read_len)
     history: List[dict] = []
@@ -113,7 +134,8 @@ def run_stage(
     from ..utils.log import PhaseTimer, RunLogger
 
     logger = RunLogger(p.output_dir or None)
-    timer = PhaseTimer(verbose=p.verbose)  # shared: accumulates across iterations
+    # shared: accumulates across iterations; annotates xprof spans when tracing
+    timer = PhaseTimer(verbose=p.verbose, annotate=bool(p.profile_dir))
 
     def step(settings: Settings) -> bool:
         """Run one iteration; returns False when the pipeline terminated."""

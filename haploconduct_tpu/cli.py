@@ -57,6 +57,8 @@ def cmd_savage(argv) -> int:
     ap.add_argument("--resume", action="store_true",
                     help="reuse completed stage checkpoints in the output dir")
     ap.add_argument("--backend", default="jax", choices=["jax", "numpy", "native"])
+    ap.add_argument("--profile_dir", default="",
+                    help="capture a jax.profiler/xprof trace per stage")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -73,7 +75,8 @@ def cmd_savage(argv) -> int:
         max_tip_len=args.max_tip_len, use_subreads=args.use_subreads,
         stage_b=args.stage_b, stage_c=args.stage_c,
         output_dir=args.outdir, resume=args.resume,
-        backend=args.backend, verbose=args.verbose,
+        backend=args.backend, profile_dir=args.profile_dir,
+        verbose=args.verbose,
     )
     res = run_savage(store, cfg)
     os.makedirs(args.outdir, exist_ok=True)

@@ -20,23 +20,36 @@ class PhaseTimer:
     phase with get_timestamp() pairs and prints elapsed seconds under
     --verbose, src/ViralQuasispecies.cpp:33-38 + the per-phase prints
     throughout main). Use as `with timer("verify"): ...`; times accumulate
-    across calls so multi-iteration runs report totals per phase."""
+    across calls so multi-iteration runs report totals per phase.
 
-    def __init__(self, verbose: bool = False):
+    With `annotate=True` each span also opens a
+    jax.profiler.TraceAnnotation, so phases show up as named host spans in
+    an xprof trace captured around the run (see run_stage's profile_dir)."""
+
+    def __init__(self, verbose: bool = False, annotate: bool = False):
         self.times: dict = {}
         self.verbose = verbose
+        self.annotate = annotate
         self._stack: list = []
 
     class _Span:
         def __init__(self, timer: "PhaseTimer", name: str):
             self.timer, self.name = timer, name
+            self._ann = None
 
         def __enter__(self):
+            if self.timer.annotate:
+                import jax.profiler
+
+                self._ann = jax.profiler.TraceAnnotation(self.name)
+                self._ann.__enter__()
             self.t0 = time.perf_counter()
             return self
 
         def __exit__(self, *exc):
             dt = time.perf_counter() - self.t0
+            if self._ann is not None:
+                self._ann.__exit__(None, None, None)
             self.timer.times[self.name] = self.timer.times.get(self.name, 0.0) + dt
             if self.timer.verbose:
                 print(f"[phase] {self.name}: {dt:.3f}s")

@@ -58,6 +58,7 @@ class SavageConfig:
     # savage.py --no_stage_a/--no_stage_b skip semantics, files-based)
     backend: str = "jax"
     kmer_k: int = 20
+    profile_dir: str = ""  # capture jax.profiler/xprof traces per stage
     verbose: bool = False
 
 
@@ -334,6 +335,7 @@ def run_savage(
                 original_readcount=len(pstore),
                 backend=cfg.backend,
                 verbose=cfg.verbose,
+                profile_dir=cfg.profile_dir,
             )
             local_results.append(run_stage(params, pstore, overlaps))
         patch_results = allgather_stage_results(local_results, mine, len(patches))
@@ -364,6 +366,7 @@ def run_savage(
             original_readcount=_original_readcount(combined_sub),
             backend=cfg.backend,
             verbose=cfg.verbose,
+            profile_dir=cfg.profile_dir,
         )
         res_b = run_stage(params_b, combined, overlaps_b,
                           combined_sub if cfg.use_subreads else None)
@@ -396,6 +399,7 @@ def run_savage(
             original_readcount=_original_readcount(res_b.subreads),
             backend=cfg.backend,
             verbose=cfg.verbose,
+            profile_dir=cfg.profile_dir,
         )
         res_c = run_stage(params_c, res_b.store, overlaps_c,
                           res_b.subreads if cfg.use_subreads else None)
@@ -420,6 +424,7 @@ def run_savage(
             original_readcount=_original_readcount(res_c.subreads),
             backend=cfg.backend,
             verbose=cfg.verbose,
+            profile_dir=cfg.profile_dir,
         )
         res_d = run_stage(params_d, res_c.store, overlaps_d,
                           res_c.subreads if cfg.use_subreads else None)
