@@ -27,25 +27,80 @@ class AssemblyMetrics:
     genome_fraction: float  # fraction of haplotype positions covered
     mismatch_rate: float  # mismatches per aligned base
     unaligned_contigs: int
+    # QUAST-comparable headline metrics (quast.sf.net definitions):
+    nga50: int = 0  # N50 over ALIGNED blocks, vs the reference length
+    duplication_ratio: float = 0.0  # aligned bases / covered ref positions
+    misassemblies: int = 0  # relocation/inversion/translocation events
 
     def summary(self) -> str:
         return (f"contigs: {self.n_contigs}  total: {self.total_length}bp  "
                 f"largest: {self.largest}  N50: {self.n50}  "
+                f"NGA50: {self.nga50}  "
                 f"genome fraction: {100 * self.genome_fraction:.1f}%  "
                 f"mismatch rate: {100 * self.mismatch_rate:.3f}%  "
+                f"duplication: {self.duplication_ratio:.3f}  "
+                f"misassemblies: {self.misassemblies}  "
                 f"unaligned: {self.unaligned_contigs}")
 
 
-def n50(lengths: List[int]) -> int:
+def n50(lengths: List[int], reference_total: Optional[int] = None) -> int:
+    """N50 (half of sum(lengths)); with reference_total, the NG-style
+    variant where the 50% threshold is half the REFERENCE length."""
     if not lengths:
         return 0
-    total = sum(lengths)
+    total = reference_total if reference_total is not None else sum(lengths)
     acc = 0
     for ln in sorted(lengths, reverse=True):
         acc += ln
         if 2 * acc >= total:
             return ln
     return 0
+
+
+# QUAST's "extensive misassembly" distance threshold: consecutive aligned
+# fragments of one contig whose reference coordinates disagree with their
+# contig coordinates by more than this are a relocation event
+_MIS_THRESHOLD = 1000
+_MIS_CHUNK = 1000  # contig fragment size for split alignment
+_MIS_MIN_CHUNK = 200  # ignore trailing fragments shorter than this
+
+
+def _misassembly_events(codes: np.ndarray, index, hap_codes) -> int:
+    """Count relocation / inversion / translocation events within one
+    contig, QUAST-style: split the contig into fragments, align each
+    independently, and compare consecutive aligned fragments."""
+    from ..ops.align import _best_diagonal, _gapless_mismatches
+    from ..core.reads import revcomp_codes
+
+    if len(codes) < 2 * _MIS_MIN_CHUNK:
+        return 0
+    placements = []  # (contig_offset, rid, diag, rev)
+    for off in range(0, len(codes), _MIS_CHUNK):
+        chunk = codes[off:off + _MIS_CHUNK]
+        if len(chunk) < _MIS_MIN_CHUNK:
+            break
+        best = None
+        for rev in (False, True):
+            c = revcomp_codes(chunk) if rev else chunk
+            for rid, diag, _ in _best_diagonal(index, c):
+                mism, span = _gapless_mismatches(hap_codes[rid], c, diag)
+                if span == 0:
+                    continue
+                cand = (mism / span, -span, rid, diag, rev)
+                if best is None or cand < best:
+                    best = cand
+        if best is not None:
+            _, _, rid, diag, rev = best
+            placements.append((off, rid, diag, rev))
+    events = 0
+    for (o1, r1, d1, v1), (o2, r2, d2, v2) in zip(placements, placements[1:]):
+        if r1 != r2:
+            events += 1  # translocation
+        elif v1 != v2:
+            events += 1  # inversion
+        elif abs(d2 - d1) > _MIS_THRESHOLD:
+            events += 1  # relocation (diagonals encode ref_pos - contig_pos)
+    return events
 
 
 def evaluate_assembly(contigs: List[str], haplotypes: List[str],
@@ -62,6 +117,8 @@ def evaluate_assembly(contigs: List[str], haplotypes: List[str],
     mismatches = 0
     aligned_bases = 0
     unaligned = 0
+    aligned_blocks: List[int] = []
+    misassemblies = 0
     for contig in contigs:
         codes = encode_seq(contig)
         best = None
@@ -81,6 +138,8 @@ def evaluate_assembly(contigs: List[str], haplotypes: List[str],
         span = -negspan
         mismatches += int(round(rate * span))
         aligned_bases += span
+        aligned_blocks.append(span)
+        misassemblies += _misassembly_events(codes, index, hap_codes)
         a = max(0, diag)
         b = min(len(hap_codes[rid]), diag + len(codes))
         covered[rid][a:b] = True
@@ -95,6 +154,10 @@ def evaluate_assembly(contigs: List[str], haplotypes: List[str],
         genome_fraction=covered_total / genome_total if genome_total else 0.0,
         mismatch_rate=mismatches / aligned_bases if aligned_bases else 0.0,
         unaligned_contigs=unaligned,
+        nga50=n50(aligned_blocks, reference_total=genome_total),
+        duplication_ratio=(aligned_bases / covered_total
+                           if covered_total else 0.0),
+        misassemblies=misassemblies,
     )
 
 

@@ -35,6 +35,41 @@ def test_evaluate_assembly_mismatches():
     assert 0.3 < m.genome_fraction < 0.4
 
 
+def test_quast_style_metrics():
+    """NGA50 / duplication ratio / misassembly events (QUAST definitions)."""
+    from haploconduct_tpu.core.reads import revcomp_str
+
+    rng = np.random.default_rng(7)
+    hap = random_genome(rng, 8000)
+
+    # clean assembly: no misassemblies, duplication 1.0, NGA50 = block len
+    clean = [hap[0:4000], hap[4000:8000]]
+    m = evaluate_assembly(clean, [hap])
+    assert m.misassemblies == 0
+    assert m.duplication_ratio == pytest.approx(1.0)
+    assert m.nga50 == 4000
+
+    # duplicated contig: duplication ratio ~2 over the covered region
+    m = evaluate_assembly([hap[0:3000], hap[0:3000]], [hap])
+    assert m.duplication_ratio == pytest.approx(2.0)
+
+    # relocation: two distant 2kb pieces glued together
+    reloc = hap[0:2000] + hap[5000:7000]
+    m = evaluate_assembly([reloc], [hap])
+    assert m.misassemblies == 1
+
+    # inversion: forward piece + reverse-complemented adjacent piece
+    inv = hap[0:2000] + revcomp_str(hap[2000:4000])
+    m = evaluate_assembly([inv], [hap])
+    assert m.misassemblies >= 1
+
+    # translocation: pieces of two different haplotypes
+    hap2 = random_genome(np.random.default_rng(8), 8000)
+    trans = hap[0:2000] + hap2[3000:5000]
+    m = evaluate_assembly([trans], [hap, hap2])
+    assert m.misassemblies == 1
+
+
 def test_snp_recovery():
     rng = np.random.default_rng(2)
     h1 = random_genome(rng, 2000)
