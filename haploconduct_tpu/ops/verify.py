@@ -274,6 +274,8 @@ def verify_overlaps(
             ts = score_tasks_numpy(*args, **kw)
         else:
             BACKEND_COUNTS["native"] += len(plan.row_first)
+            # clamp: upholds _near_threshold's score<=1.0 invariant
+            ts = ts._replace(score=np.minimum(ts.score, 1.0))
             ts = _exact_mismatch_rates(plan, ts, lens_by_row, kw)
             if s.exact and len(plan.row_first):
                 ts = _recheck_near_threshold(plan, ts, args, kw, s)
@@ -293,6 +295,9 @@ def verify_overlaps(
         else:
             BACKEND_COUNTS["xla"] += len(plan.row_first)
             ts = score_tasks_jax(*args, **kw)
+        # clamp: f32 rounding must not push a score past the (unattainable)
+        # 1.0 ceiling _near_threshold relies on
+        ts = ts._replace(score=np.minimum(np.asarray(ts.score, np.float64), 1.0))
         ts = _exact_mismatch_rates(plan, ts, lens_by_row, kw)
         if s.exact and len(plan.row_first):
             ts = _recheck_near_threshold(plan, ts, args, kw, s)
@@ -300,10 +305,8 @@ def verify_overlaps(
     edges_all = combine_scores(ov, plan, meta, ts, s)
 
     if s.backend != "numpy" and s.exact and len(plan.row_first):
-        borderline_ov = (
-            (np.abs(edges_all["score"] - s.edge_threshold) < RECHECK_MARGIN)
-            | (np.abs(edges_all["score"] - s.ov_threshold) < RECHECK_MARGIN)
-        )
+        borderline_ov = (_near_threshold(edges_all["score"], s.edge_threshold)
+                         | _near_threshold(edges_all["score"], s.ov_threshold))
         if np.any(borderline_ov):
             RECHECK_STATS["overlaps"] = int(np.sum(borderline_ov))
             ts = _recheck_tasks_of(plan, ts, args, kw, borderline_ov)
@@ -349,12 +352,31 @@ def _exact_mismatch_rates(plan: TaskPlan, ts: TaskScores, lens_by_row, kw) -> Ta
     return ts._replace(mismatch_rate=exact)
 
 
+def _near_threshold(score: np.ndarray, thresh: float) -> np.ndarray:
+    """Scores within RECHECK_MARGIN of a threshold whose `score > thresh`
+    decision f32 rounding could actually flip.
+
+    - thresh >= 1.0: unattainable. Scores are exp(mean log p) with every
+      p < 1, so score < 1.0 in exact math, and device scores are clamped
+      to <= 1.0 — the decision is False in every precision. This matters
+      enormously for POLYTE's merge iterations (edge_threshold=1.0,
+      polyte.py run_viralquasispecies), where every high-quality overlap
+      scores within 2e-3 of 1.0 and the margin rule alone would re-run
+      the f64 oracle on nearly the whole stream.
+    - thresh <= 0.0: `score > 0` is exactly the integer-derived ok mask
+      (degenerate/rejected -> literal 0.0; otherwise exp(mean log p) with
+      p >= ~3e-10 per position, far above f32 underflow), so the decision
+      is identical in every precision.
+    Only 0 < thresh < 1 thresholds get the margin re-scoring."""
+    if thresh >= 1.0 or thresh <= 0.0:
+        return np.zeros(len(score), dtype=bool)
+    return np.abs(score - thresh) < RECHECK_MARGIN
+
+
 def _recheck_near_threshold(plan: TaskPlan, ts: TaskScores, args, kw, s: Settings) -> TaskScores:
     """Re-score near-threshold tasks with the f64 oracle."""
-    borderline_task = (
-        (np.abs(ts.score - s.edge_threshold) < RECHECK_MARGIN)
-        | (np.abs(ts.score - s.ov_threshold) < RECHECK_MARGIN)
-    )
+    borderline_task = (_near_threshold(ts.score, s.edge_threshold)
+                       | _near_threshold(ts.score, s.ov_threshold))
     if not np.any(borderline_task):
         return ts
     return _recheck_task_idx(plan, ts, args, kw, np.flatnonzero(borderline_task))

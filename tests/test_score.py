@@ -190,6 +190,30 @@ def test_verify_backends_agree():
     np.testing.assert_array_equal(r64.edges["v2"], r32.edges["v2"])
 
 
+def test_unattainable_threshold_skips_recheck():
+    """POLYTE merge iterations run edge_threshold=1.0; scores are < 1.0 by
+    construction so NOTHING near that threshold needs f64 re-scoring (it
+    used to re-run the oracle on nearly every high-quality task), and the
+    decisions must still match the oracle exactly."""
+    from haploconduct_tpu.ops.verify import RECHECK_STATS
+
+    rng = np.random.default_rng(11)
+    store, _ = build_random_store(rng, n_single=14, n_paired=6)
+    packed = store.pack()
+    ov = random_overlaps(rng, store, 200)
+    s64 = Settings(edge_threshold=1.0, ov_threshold=0.0, merge_contigs=0.02,
+                   backend="numpy")
+    r64 = verify_overlaps(store, packed, ov, s64)
+    for backend in ("native", "jax"):
+        sdev = s64.derive(backend=backend)
+        rdev = verify_overlaps(store, packed, ov, sdev)
+        assert RECHECK_STATS["tasks"] == 0
+        assert RECHECK_STATS["overlaps"] == 0
+        np.testing.assert_array_equal(r64.nonedge_mask, rdev.nonedge_mask)
+        np.testing.assert_array_equal(r64.edges["v1"], rdev.edges["v1"])
+        np.testing.assert_array_equal(r64.edges["v2"], rdev.edges["v2"])
+
+
 def test_native_matches_oracle():
     """C++ host engine (score_tasks_exact): exact integers, ulp-close scores,
     and identical verify_overlaps edge decisions vs the f64 oracle."""
