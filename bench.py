@@ -61,29 +61,32 @@ def bench_device(packed, lens, row_a, row_b, pos, repeats: int = 20):
     combined = P.pack_for_pallas(packed.codes, packed.quals)
     b = len(row_a)
     L = np.minimum(lens[row_a].astype(np.int64) - pos, lens[row_b]).astype(np.int64)
-    s_rows, s_posa, s_bolen, _ = P.segment_tasks(
+    s_rowa, s_rowb, s_posa, s_bolen, _ = P.segment_tasks(
         row_a.astype(np.int64), row_b.astype(np.int64), pos.astype(np.int64), L)
-    pad = (-len(s_rows)) % P.TB
+    pad = (-len(s_rowa)) % P.TB
     if pad:
         z = np.zeros(pad, np.int32)
-        s_rows = np.concatenate([s_rows, z])
+        s_rowa = np.concatenate([s_rowa, z])
+        s_rowb = np.concatenate([s_rowb, z])
         s_posa = np.concatenate([s_posa, z])
         s_bolen = np.concatenate([s_bolen, z])
     kernel = P._build_kernel(0.0)
 
     @jax.jit
-    def repeat_run(cd, rp, pp, bp):
+    def repeat_run(cd, ra, rb, pp, bp):
         def body(i, acc):
-            out = kernel(cd, jnp.roll(rp, i), jnp.roll(pp, i), jnp.roll(bp, i))
+            out = kernel(cd, jnp.roll(ra, i), jnp.roll(rb, i),
+                         jnp.roll(pp, i), jnp.roll(bp, i))
             return acc + jnp.sum(out[0])
 
         return jax.lax.fori_loop(0, repeats, body, jnp.float32(0))
 
     cd = jnp.asarray(combined)
-    rp, pp, bp = jnp.asarray(s_rows), jnp.asarray(s_posa), jnp.asarray(s_bolen)
-    float(repeat_run(cd, rp, pp, bp))  # compile + warmup
+    ra, rb = jnp.asarray(s_rowa), jnp.asarray(s_rowb)
+    pp, bp = jnp.asarray(s_posa), jnp.asarray(s_bolen)
+    float(repeat_run(cd, ra, rb, pp, bp))  # compile + warmup
     t0 = time.perf_counter()
-    float(repeat_run(cd, rp, pp, bp))
+    float(repeat_run(cd, ra, rb, pp, bp))
     dt = time.perf_counter() - t0
     return b * repeats / dt
 

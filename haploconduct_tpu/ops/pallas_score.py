@@ -51,7 +51,7 @@ SEG = 512        # compare lanes per subtask (segment)
 LOADW = SEG + 128  # A-side aligned load covers any 128-aligned window start
 ROLLW = 1024     # power-of-two roll width >= LOADW
 TB = 256         # subtasks per grid step
-CHUNK = 32768    # subtasks per pallas_call (SMEM budget: 3 arrays x 128KB)
+CHUNK = 32768    # subtasks per pallas_call (SMEM budget: 4 arrays x 128KB)
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # of the ~16MB scoped-vmem limit
 
 
@@ -80,12 +80,17 @@ def _build_kernel(mismatch_thresh: float, resident: bool = True):
 
     LOG10_OVER_10 = float(np.log(10.0) / 10.0)
 
-    def kernel(rows_ref, posa_ref, bolen_ref,        # scalar prefetch (B,) SMEM
+    def kernel(rowa_ref, rowb_ref, posa_ref, bolen_ref,  # scalar prefetch (B,) SMEM
                comb_ref,                             # VMEM (R, RW) int16, full
                sumlog_ref, counted_ref, mism_ref, rej_ref,  # (TB, 1)
                sa_scr, ga_scr, gb_scr, l_scr):
         # sa_scr: (GROUP, ROLLW) roll staging; ga/gb: (TB, SEG) gathered
         # segment windows (combined code|qual<<3 words); l_scr: (TB, 1)
+        # rowa/rowb are full int32 row ids (no 16-bit packing) so the kernel
+        # serves ANY packed-matrix height — the reference streams unbounded
+        # overlap chunks (src/EdgeCalculator.cpp:571-644) and its operating
+        # envelope (500-1000x coverage/patch, savage/README.md:313-319) far
+        # exceeds 32k reads per patch.
         base = pl.program_id(0) * TB
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, SEG), 0)
 
@@ -97,11 +102,10 @@ def _build_kernel(mismatch_thresh: float, resident: bool = True):
             b_rows = []
             l_vals = []
             for t in range(GROUP):
-                packed_rows = rows_ref[base + g8 + t]
+                row_a = rowa_ref[base + g8 + t]
+                row_b = rowb_ref[base + g8 + t]
                 pa = posa_ref[base + g8 + t]          # pos + k*SEG (A side)
                 bl = bolen_ref[base + g8 + t]         # (k*SEG << 10) | seg_len
-                row_a = packed_rows >> 16
-                row_b = packed_rows & 0xFFFF
                 bo = pl.multiple_of((bl >> 10) << 9, 128)  # k*SEG, 128-aligned
                 lt = bl & 1023
                 r8a = pl.multiple_of((row_a >> 3) << 3, 8)
@@ -160,7 +164,7 @@ def _build_kernel(mismatch_thresh: float, resident: bool = True):
         mism_ref[:, 0] = mism
         rej_ref[:, 0] = rejected
 
-    def kernel_hbm(rows_ref, posa_ref, bolen_ref,   # scalar prefetch (B,) SMEM
+    def kernel_hbm(rowa_ref, rowb_ref, posa_ref, bolen_ref,  # scalar prefetch (B,) SMEM
                    comb_ref,                        # ANY/HBM (R, RW) int16
                    sumlog_ref, counted_ref, mism_ref, rej_ref,  # (TB, 1)
                    a_buf, b_buf, ga_scr, gb_scr, l_scr, sems):
@@ -176,11 +180,10 @@ def _build_kernel(mismatch_thresh: float, resident: bool = True):
             g8 = g * GROUP
 
             def start_one(t, _):
-                packed_rows = rows_ref[base + g8 + t]
+                row_a = rowa_ref[base + g8 + t]
+                row_b = rowb_ref[base + g8 + t]
                 pa = posa_ref[base + g8 + t]
                 bl = bolen_ref[base + g8 + t]
-                row_a = packed_rows >> 16
-                row_b = packed_rows & 0xFFFF
                 bo = pl.multiple_of((bl >> 10) << 9, 128)
                 r8a = pl.multiple_of((row_a >> 3) << 3, 8)
                 r8b = pl.multiple_of((row_b >> 3) << 3, 8)
@@ -230,11 +233,10 @@ def _build_kernel(mismatch_thresh: float, resident: bool = True):
             b_rows = []
             l_vals = []
             for t in range(GROUP):
-                packed_rows = rows_ref[base + g8 + t]
+                row_a = rowa_ref[base + g8 + t]
+                row_b = rowb_ref[base + g8 + t]
                 pa = posa_ref[base + g8 + t]
                 bl = bolen_ref[base + g8 + t]
-                row_a = packed_rows >> 16
-                row_b = packed_rows & 0xFFFF
                 lt = bl & 1023
                 sub_a = row_a & 7
                 sub_b = row_b & 7
@@ -303,14 +305,14 @@ def _build_kernel(mismatch_thresh: float, resident: bool = True):
             pltpu.SemaphoreType.DMA((2, GROUP, 2)),
         ]
 
-    def run(comb, rows_packed, posa, bolen):
-        b = rows_packed.shape[0]
+    def run(comb, rowa, rowb, posa, bolen):
+        b = rowa.shape[0]
         assert b % TB == 0, f"batch {b} not a multiple of TB={TB}"
         nsteps = b // TB
         out = pl.pallas_call(
             chosen_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
+                num_scalar_prefetch=4,
                 grid=(nsteps,),
                 in_specs=[in_spec],
                 out_specs=[
@@ -327,7 +329,7 @@ def _build_kernel(mismatch_thresh: float, resident: bool = True):
                 jax.ShapeDtypeStruct((b, 1), jnp.int32),
                 jax.ShapeDtypeStruct((b, 1), jnp.int32),
             ],
-        )(rows_packed, posa, bolen, comb)
+        )(rowa, rowb, posa, bolen, comb)
         return tuple(o.reshape(-1) for o in out)
 
     return jax.jit(run)
@@ -349,15 +351,14 @@ def pack_for_pallas(codes: np.ndarray, quals: np.ndarray) -> np.ndarray:
 
 def pallas_supported(codes: np.ndarray) -> bool:
     """True on TPU for any matrix size: matrices within the VMEM budget run
-    the resident kernel, larger ones the HBM-DMA kernel."""
+    the resident kernel, larger ones the HBM-DMA kernel. No row-count cap:
+    row ids travel as full int32 scalars."""
     import jax
 
     try:
-        if not any(d.platform in ("tpu", "axon") for d in jax.devices()):
-            return False
+        return any(d.platform in ("tpu", "axon") for d in jax.devices())
     except Exception:
         return False
-    return codes.shape[0] < (1 << 16)
 
 
 def _fits_vmem(codes: np.ndarray) -> bool:
@@ -368,10 +369,12 @@ def _fits_vmem(codes: np.ndarray) -> bool:
 def segment_tasks(row_a, row_b, pos, L):
     """Decompose tasks into SEG-lane subtasks.
 
-    Returns (s_rows, s_posa, s_bolen, task_bounds) where task_bounds are
-    np.add.reduceat boundaries mapping subtask outputs back to tasks.
-    Degenerate tasks (L <= 0) get one zero-length subtask so every task
-    produces exactly one reduction slot.
+    Returns (s_rowa, s_rowb, s_posa, s_bolen, task_bounds) where
+    task_bounds are np.add.reduceat boundaries mapping subtask outputs back
+    to tasks. Row ids stay full int32 (no 16-bit packing), so the subtask
+    stream addresses packed matrices of any height. Degenerate tasks
+    (L <= 0) get one zero-length subtask so every task produces exactly one
+    reduction slot.
     """
     L = np.maximum(L, 0)
     nseg = np.maximum((L + SEG - 1) // SEG, 1).astype(np.int64)
@@ -381,11 +384,11 @@ def segment_tasks(row_a, row_b, pos, L):
     k = np.arange(total, dtype=np.int64) - np.repeat(bounds, nseg)
     bo = k * SEG
     seg_len = np.minimum(L[task_of] - bo, SEG)
-    s_rows = ((row_a[task_of].astype(np.int64) << 16)
-              | row_b[task_of].astype(np.int64)).astype(np.int32)
+    s_rowa = row_a[task_of].astype(np.int32)
+    s_rowb = row_b[task_of].astype(np.int32)
     s_posa = (pos[task_of].astype(np.int64) + bo).astype(np.int32)
     s_bolen = ((k << 10) | seg_len).astype(np.int32)
-    return s_rows, s_posa, s_bolen, bounds
+    return s_rowa, s_rowb, s_posa, s_bolen, bounds
 
 
 def score_tasks_pallas(
@@ -417,10 +420,9 @@ def score_tasks_pallas(
     L = np.minimum(len_a - pos64, len_b)
     L = np.where(pos64 >= len_a, 0, L)
 
-    assert codes.shape[0] < (1 << 16), "row ids must fit in 16 bits"
-    s_rows, s_posa, s_bolen, bounds = segment_tasks(
+    s_rowa, s_rowb, s_posa, s_bolen, bounds = segment_tasks(
         row_a.astype(np.int64), row_b.astype(np.int64), pos64, L)
-    n_sub = len(s_rows)
+    n_sub = len(s_rowa)
 
     fn = _build_kernel(float(mismatch_thresh), _fits_vmem(codes))
     comb_d = jnp.asarray(combined)
@@ -434,32 +436,18 @@ def score_tasks_pallas(
         end = min(start + CHUNK, n_sub)
         n = end - start
         pad = (-n) % TB
-        rp = s_rows[start:end]
-        pp = s_posa[start:end]
-        bp = s_bolen[start:end]
+        cols_in = [s_rowa[start:end], s_rowb[start:end],
+                   s_posa[start:end], s_bolen[start:end]]
         if pad:
-            rp = np.concatenate([rp, np.zeros(pad, np.int32)])
-            pp = np.concatenate([pp, np.zeros(pad, np.int32)])
-            bp = np.concatenate([bp, np.zeros(pad, np.int32)])
-        dev_outs.append(fn(comb_d, jnp.asarray(rp), jnp.asarray(pp), jnp.asarray(bp)))
+            cols_in = [np.concatenate([c, np.zeros(pad, np.int32)])
+                       for c in cols_in]
+        dev_outs.append(fn(comb_d, *(jnp.asarray(c) for c in cols_in)))
         ns.append(n)
     # concat per output column on device -> exactly 4 host transfers total
     cols = [jnp.concatenate([d[j][:n] for d, n in zip(dev_outs, ns)])
             if len(dev_outs) > 1 else dev_outs[0][j][:ns[0]]
             for j in range(4)]
-    # segment -> task reduction
-    sub_sumlog = np.asarray(cols[0]).astype(np.float64)
-    sub_counted = np.asarray(cols[1]).astype(np.int64)
-    sub_mism = np.asarray(cols[2]).astype(np.int64)
-    sub_rej = np.asarray(cols[3]).astype(np.int64)
-    sum_log = np.add.reduceat(sub_sumlog, bounds)
-    counted = np.add.reduceat(sub_counted, bounds)
-    mism = np.add.reduceat(sub_mism, bounds)
-    rejected = np.add.reduceat(sub_rej, bounds) > 0
+    from .score import reduce_segments_to_tasks
 
-    degenerate = (pos64 >= len_a) | (len_a < min_read_len) | (len_b < min_read_len) | (counted == 0)
-    ok = ~degenerate & ~rejected
-    with np.errstate(divide="ignore", invalid="ignore"):
-        score = np.where(ok, np.exp(sum_log / np.maximum(counted, 1)), 0.0)
-        mism_rate = np.where(ok, mism / np.maximum(counted, 1), 1.0)
-    return TaskScores(score, mism_rate, sum_log, counted, mism, rejected)
+    return reduce_segments_to_tasks(cols, bounds, pos64, len_a, len_b,
+                                    int(min_read_len))

@@ -196,54 +196,86 @@ def _get_jax():
     return jax, jnp
 
 
-@functools.lru_cache(maxsize=64)
-def _jit_score_tasks(width: int, mismatch_thresh: float, min_read_len: int):
-    """Build a jitted scorer for a fixed window width (bucketed)."""
+def xla_segment_body(mismatch_thresh: float):
+    """Per-SEG-subtask scorer with the exact ABI/semantics of the Pallas
+    kernel: (comb int16 matrix, rowa, rowb, posa, bolen) -> per-subtask
+    (sum_log f32, counted i32, mismatches i32, rejected i32). Shared by the
+    single-device XLA fallback (score_tasks_jax) and the mesh-sharded path
+    (parallel/mesh.py), so EVERY f32 scoring path accumulates over at most
+    SEG=512 lanes — the width the RECHECK_MARGIN=2e-3 drift bound is
+    empirically pinned on (tests/test_score.py) — regardless of how long
+    the contigs grow (reference C++ accumulates in double,
+    src/EdgeCalculator.cpp:26-139; we bound f32 error structurally
+    instead)."""
     jax, jnp = _get_jax()
+
+    from .pallas_score import SEG
 
     LOG10_OVER_10 = float(np.log(10.0) / 10.0)
 
-    def fn(codes, quals, lens_by_row, row_a, row_b, pos):
-        a = codes[row_a]  # (B, W) int8
-        b = codes[row_b]
-        qa = quals[row_a]  # (B, W) uint8
-        qb = quals[row_b]
-        pos_i = pos.astype(jnp.int32)
-        len_a = lens_by_row[row_a].astype(jnp.int32)
-        len_b = lens_by_row[row_b].astype(jnp.int32)
-
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
-        idx = jnp.minimum(pos_i[:, None] + col, width - 1)
-        a_shift = jnp.take_along_axis(a, idx, axis=1)
-        qa_shift = jnp.take_along_axis(qa, idx, axis=1)
-
-        L = jnp.minimum(len_a - pos_i, len_b)
-        valid = col < L[:, None]
-        either_n = (a_shift >= N_CODE) | (b >= N_CODE)
-        counted_mask = valid & jnp.logical_not(either_n)
-
-        p1 = jnp.exp(qa_shift.astype(jnp.float32) * (-LOG10_OVER_10))
+    def body(comb, row_a, row_b, posa, bolen):
+        rw = comb.shape[1]
+        bo = ((bolen >> 10) << 9).astype(jnp.int32)
+        lt = (bolen & 1023).astype(jnp.int32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, SEG), 1)
+        a_idx = jnp.minimum(posa[:, None] + col, rw - 1)
+        b_idx = jnp.minimum(bo[:, None] + col, rw - 1)
+        a_w = jnp.take_along_axis(comb[row_a], a_idx, axis=1).astype(jnp.int32)
+        b_w = jnp.take_along_axis(comb[row_b], b_idx, axis=1).astype(jnp.int32)
+        a = a_w & 7
+        qa = a_w >> 3
+        b = b_w & 7
+        qb = b_w >> 3
+        valid = col < lt[:, None]
+        either_n = (a >= N_CODE) | (b >= N_CODE)
+        cm = valid & jnp.logical_not(either_n)
+        p1 = jnp.exp(qa.astype(jnp.float32) * (-LOG10_OVER_10))
         p2 = jnp.exp(qb.astype(jnp.float32) * (-LOG10_OVER_10))
-        match = a_shift == b
+        match = a == b
         p_match = (1.0 - p1) * (1.0 - p2) + (p1 * p2) * (1.0 / 3.0)
         p_mis = (p1 * (1.0 - p2) + p2 * (1.0 - p1)) * (1.0 / 3.0) + (2.0 / 9.0) * (p1 * p2)
         p = jnp.where(match, p_match, p_mis)
+        rejected = jnp.sum((cm & (p < mismatch_thresh)).astype(jnp.int32), axis=1)
+        sum_log = jnp.sum(jnp.where(cm, jnp.log(p), 0.0), axis=1)
+        counted = jnp.sum(cm.astype(jnp.int32), axis=1)
+        mism = jnp.sum((cm & jnp.logical_not(match)).astype(jnp.int32), axis=1)
+        return sum_log, counted, mism, rejected
 
-        rejected = jnp.any(counted_mask & (p < mismatch_thresh), axis=1)
-        sum_log = jnp.sum(jnp.where(counted_mask, jnp.log(p), 0.0), axis=1)
-        counted = jnp.sum(counted_mask, axis=1).astype(jnp.int32)
-        mismatches = jnp.sum(counted_mask & jnp.logical_not(match), axis=1).astype(jnp.int32)
+    return body
 
-        degenerate = (
-            (pos_i >= len_a) | (len_a < min_read_len) | (len_b < min_read_len) | (counted == 0)
-        )
-        ok = jnp.logical_not(degenerate) & jnp.logical_not(rejected)
-        denom = jnp.maximum(counted, 1).astype(jnp.float32)
-        score = jnp.where(ok, jnp.exp(sum_log / denom), 0.0)
-        mism_rate = jnp.where(ok, mismatches.astype(jnp.float32) / denom, 1.0)
-        return score, mism_rate, sum_log, counted, mismatches, rejected
 
-    return jax.jit(fn)
+def reduce_segments_to_tasks(
+    sub_cols,
+    bounds: np.ndarray,
+    pos64: np.ndarray,
+    len_a: np.ndarray,
+    len_b: np.ndarray,
+    min_read_len: int,
+) -> TaskScores:
+    """Sum per-subtask (sum_log, counted, mism, rejected) host columns back
+    to per-task TaskScores — the shared tail of every segmented backend."""
+    sub_sumlog = np.asarray(sub_cols[0]).astype(np.float64)
+    sub_counted = np.asarray(sub_cols[1]).astype(np.int64)
+    sub_mism = np.asarray(sub_cols[2]).astype(np.int64)
+    sub_rej = np.asarray(sub_cols[3]).astype(np.int64)
+    sum_log = np.add.reduceat(sub_sumlog, bounds)
+    counted = np.add.reduceat(sub_counted, bounds)
+    mism = np.add.reduceat(sub_mism, bounds)
+    rejected = np.add.reduceat(sub_rej, bounds) > 0
+
+    degenerate = ((pos64 >= len_a) | (len_a < min_read_len)
+                  | (len_b < min_read_len) | (counted == 0))
+    ok = ~degenerate & ~rejected
+    with np.errstate(divide="ignore", invalid="ignore"):
+        score = np.where(ok, np.exp(sum_log / np.maximum(counted, 1)), 0.0)
+        mism_rate = np.where(ok, mism / np.maximum(counted, 1), 1.0)
+    return TaskScores(score, mism_rate, sum_log, counted, mism, rejected)
+
+
+@functools.lru_cache(maxsize=16)
+def _jit_segment_body(mismatch_thresh: float):
+    jax, _ = _get_jax()
+    return jax.jit(xla_segment_body(mismatch_thresh))
 
 
 def score_tasks_jax(
@@ -257,37 +289,44 @@ def score_tasks_jax(
     min_read_len: int = 0,
     batch_size: int = 1 << 16,
 ) -> TaskScores:
-    """Device scoring with host-side batching; returns numpy arrays."""
+    """Device scoring via the segmented XLA formulation (any task width,
+    f32 accumulation bounded to SEG lanes); returns numpy arrays."""
     _, jnp = _get_jax()
     B = len(row_a)
     if B == 0:
         return score_tasks_numpy(codes, quals, unit_lens_by_row, row_a, row_b, pos)
-    fn = _jit_score_tasks(codes.shape[1], float(mismatch_thresh), int(min_read_len))
-    codes_d = jnp.asarray(codes)
-    quals_d = jnp.asarray(quals)
-    lens_d = jnp.asarray(unit_lens_by_row.astype(np.int32))
+    from .pallas_score import pack_for_pallas, segment_tasks
 
-    outs = []
-    for start in range(0, B, batch_size):
-        end = min(start + batch_size, B)
+    combined = pack_for_pallas(codes, quals)
+    lens = unit_lens_by_row.astype(np.int64)
+    len_a = lens[row_a]
+    len_b = lens[row_b]
+    pos64 = np.asarray(pos, dtype=np.int64)
+    L = np.minimum(len_a - pos64, len_b)
+    L = np.where(pos64 >= len_a, 0, L)
+    s_rowa, s_rowb, s_posa, s_bolen, bounds = segment_tasks(
+        np.asarray(row_a, np.int64), np.asarray(row_b, np.int64), pos64, L)
+    n_sub = len(s_rowa)
+
+    fn = _jit_segment_body(float(mismatch_thresh))
+    comb_d = jnp.asarray(combined)
+    dev_outs = []
+    ns = []
+    for start in range(0, n_sub, batch_size):
+        end = min(start + batch_size, n_sub)
         n = end - start
-        pad = (-n) % min(batch_size, max(B, 1))
-        sl = slice(start, end)
-
-        def prep(x, fill=0):
-            arr = np.asarray(x[sl])
-            if pad:
-                arr = np.concatenate([arr, np.full(pad, fill, dtype=arr.dtype)])
-            return jnp.asarray(arr)
-
-        res = fn(codes_d, quals_d, lens_d, prep(row_a), prep(row_b), prep(pos))
-        outs.append(tuple(np.asarray(r)[:n] for r in res))
-    merged = tuple(np.concatenate([o[i] for o in outs]) for i in range(6))
-    return TaskScores(
-        merged[0].astype(np.float64),
-        merged[1].astype(np.float64),
-        merged[2].astype(np.float64),
-        merged[3].astype(np.int64),
-        merged[4].astype(np.int64),
-        merged[5].astype(bool),
-    )
+        pad = (-n) % min(batch_size, 4096)
+        cols_in = [s_rowa[start:end], s_rowb[start:end],
+                   s_posa[start:end], s_bolen[start:end]]
+        if pad:
+            cols_in = [np.concatenate([c, np.zeros(pad, np.int32)])
+                       for c in cols_in]
+        dev_outs.append(fn(comb_d, *(jnp.asarray(c) for c in cols_in)))
+        ns.append(n)
+    sub_cols = [
+        np.concatenate([np.asarray(d[j])[:n] for d, n in zip(dev_outs, ns)])
+        if len(dev_outs) > 1 else np.asarray(dev_outs[0][j])[:ns[0]]
+        for j in range(4)
+    ]
+    return reduce_segments_to_tasks(sub_cols, bounds, pos64, len_a, len_b,
+                                    int(min_read_len))

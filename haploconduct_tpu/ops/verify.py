@@ -283,10 +283,11 @@ def verify_overlaps(
         from .pallas_score import pallas_supported, score_tasks_pallas
         from ..parallel.mesh import device_count, sharded_score_tasks
 
-        if device_count() > 1 and len(packed.codes) < (1 << 16):
+        if device_count() > 1:
             # production multi-chip path: subtask stream sharded over the
             # device mesh, packed matrices replicated (SURVEY §2f; replaces
-            # the OpenMP hot loop, src/EdgeCalculator.cpp:395-423)
+            # the OpenMP hot loop, src/EdgeCalculator.cpp:395-423); serves
+            # any matrix height (row ids are full int32)
             BACKEND_COUNTS["mesh"] += len(plan.row_first)
             ts = sharded_score_tasks(*args, **kw)
         elif pallas_supported(packed.codes):

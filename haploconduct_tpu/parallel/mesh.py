@@ -56,46 +56,11 @@ def device_count() -> int:
 
 def _xla_segment_body(mismatch_thresh: float):
     """Per-device segment scorer with the same ABI/semantics as the Pallas
-    kernel (used off-TPU, e.g. the driver's virtual CPU mesh)."""
-    import jax
-    import jax.numpy as jnp
+    kernel (used off-TPU, e.g. the driver's virtual CPU mesh). Shared with
+    the single-device XLA fallback: ops/score.py:xla_segment_body."""
+    from ..ops.score import xla_segment_body
 
-    from ..core.reads import N_CODE
-    from ..ops.pallas_score import SEG
-
-    LOG10_OVER_10 = float(np.log(10.0) / 10.0)
-
-    def body(comb, rows, posa, bolen):
-        rw = comb.shape[1]
-        row_a = (rows >> 16).astype(jnp.int32)
-        row_b = (rows & 0xFFFF).astype(jnp.int32)
-        bo = ((bolen >> 10) << 9).astype(jnp.int32)
-        lt = (bolen & 1023).astype(jnp.int32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, SEG), 1)
-        a_idx = jnp.minimum(posa[:, None] + col, rw - 1)
-        b_idx = jnp.minimum(bo[:, None] + col, rw - 1)
-        a_w = jnp.take_along_axis(comb[row_a], a_idx, axis=1).astype(jnp.int32)
-        b_w = jnp.take_along_axis(comb[row_b], b_idx, axis=1).astype(jnp.int32)
-        a = a_w & 7
-        qa = a_w >> 3
-        b = b_w & 7
-        qb = b_w >> 3
-        valid = col < lt[:, None]
-        either_n = (a >= N_CODE) | (b >= N_CODE)
-        cm = valid & jnp.logical_not(either_n)
-        p1 = jnp.exp(qa.astype(jnp.float32) * (-LOG10_OVER_10))
-        p2 = jnp.exp(qb.astype(jnp.float32) * (-LOG10_OVER_10))
-        match = a == b
-        p_match = (1.0 - p1) * (1.0 - p2) + (p1 * p2) * (1.0 / 3.0)
-        p_mis = (p1 * (1.0 - p2) + p2 * (1.0 - p1)) * (1.0 / 3.0) + (2.0 / 9.0) * (p1 * p2)
-        p = jnp.where(match, p_match, p_mis)
-        rejected = jnp.sum((cm & (p < mismatch_thresh)).astype(jnp.int32), axis=1)
-        sum_log = jnp.sum(jnp.where(cm, jnp.log(p), 0.0), axis=1)
-        counted = jnp.sum(cm.astype(jnp.int32), axis=1)
-        mism = jnp.sum((cm & jnp.logical_not(match)).astype(jnp.int32), axis=1)
-        return sum_log, counted, mism, rejected
-
-    return body
+    return xla_segment_body(mismatch_thresh)
 
 
 @functools.lru_cache(maxsize=8)
@@ -117,8 +82,8 @@ def _sharded_segment_fn(mismatch_thresh: float, axis: str = "data"):
 
         kern = _build_kernel(mismatch_thresh, True)
 
-        def body(comb, rows, posa, bolen):
-            sl, cn, mm, rj = kern(comb, rows, posa, bolen)
+        def body(comb, rowa, rowb, posa, bolen):
+            sl, cn, mm, rj = kern(comb, rowa, rowb, posa, bolen)
             return sl, cn, mm, rj
     else:
         body = _xla_segment_body(mismatch_thresh)
@@ -127,14 +92,14 @@ def _sharded_segment_fn(mismatch_thresh: float, axis: str = "data"):
         try:
             smapped = shard_map(
                 body, mesh=mesh,
-                in_specs=(P(), P(axis), P(axis), P(axis)),
+                in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
                 out_specs=(P(axis), P(axis), P(axis), P(axis)),
                 check_vma=False,
             )
         except TypeError:  # older jax spells it check_rep
             smapped = shard_map(
                 body, mesh=mesh,
-                in_specs=(P(), P(axis), P(axis), P(axis)),
+                in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
                 out_specs=(P(axis), P(axis), P(axis), P(axis)),
                 check_rep=False,
             )
@@ -156,11 +121,16 @@ def sharded_score_tasks(
 ):
     """Mesh-sharded scoring with the score_tasks_* contract (TaskScores of
     host numpy arrays). The production multi-chip verification path: used
-    by ops/verify.py whenever more than one device is visible."""
-    import jax.numpy as jnp
+    by ops/verify.py whenever more than one device is visible.
 
-    from ..ops.pallas_score import TB, pack_for_pallas, segment_tasks
-    from ..ops.score import TaskScores, score_tasks_numpy
+    Multi-host safe: when the mesh spans processes (jax.distributed), the
+    replicated packed matrix and the sharded subtask stream are built as
+    global jax.Arrays via make_array_from_callback (every host holds the
+    full host-side stream — the overlap planner is replicated host code),
+    and outputs are fetched shard-by-addressable-shard and allgathered
+    across processes. No row-count cap (row ids are full int32)."""
+    from ..ops.pallas_score import CHUNK, TB, pack_for_pallas, segment_tasks
+    from ..ops.score import score_tasks_numpy
 
     b = len(row_a)
     if b == 0:
@@ -177,51 +147,76 @@ def sharded_score_tasks(
     L = np.minimum(len_a - pos64, len_b)
     L = np.where(pos64 >= len_a, 0, L)
 
-    assert codes.shape[0] < (1 << 16), "row ids must fit in 16 bits"
-    s_rows, s_posa, s_bolen, bounds = segment_tasks(
+    s_rowa, s_rowb, s_posa, s_bolen, bounds = segment_tasks(
         row_a.astype(np.int64), row_b.astype(np.int64), pos64, L)
-    n_sub = len(s_rows)
-    pad = (-n_sub) % (n_dev * TB)
-    if pad:
-        z = np.zeros(pad, np.int32)
-        s_rows = np.concatenate([s_rows, z])
-        s_posa = np.concatenate([s_posa, z])
-        s_bolen = np.concatenate([s_bolen, z])
-
+    n_sub = len(s_rowa)
+    # chunk the stream so each device's scalar-prefetch slice stays within
+    # the Pallas kernel's SMEM budget (CHUNK subtasks/device), dispatching
+    # all chunks before any host fetch (async pipelining)
+    step = n_dev * CHUNK
+    pad_full = (-n_sub) % (n_dev * TB)
+    total = n_sub + pad_full
     fn = _sharded_segment_fn(float(mismatch_thresh))(mesh)
-    out = fn(jnp.asarray(combined), jnp.asarray(s_rows),
-             jnp.asarray(s_posa), jnp.asarray(s_bolen))
-    out = _gather_across_processes(out)
-    sub_sumlog = np.asarray(out[0])[:n_sub].astype(np.float64)
-    sub_counted = np.asarray(out[1])[:n_sub].astype(np.int64)
-    sub_mism = np.asarray(out[2])[:n_sub].astype(np.int64)
-    sub_rej = np.asarray(out[3])[:n_sub].astype(np.int64)
-    sum_log = np.add.reduceat(sub_sumlog, bounds)
-    counted = np.add.reduceat(sub_counted, bounds)
-    mism = np.add.reduceat(sub_mism, bounds)
-    rejected = np.add.reduceat(sub_rej, bounds) > 0
+    comb_d = _make_global(mesh, combined, replicated=True)
+    dev_outs = []
+    ns = []
+    cols_np = (s_rowa, s_rowb, s_posa, s_bolen)
+    for start in range(0, total, step):
+        end = min(start + step, total)
+        n = min(end, n_sub) - start
+        pad = (end - start) - max(n, 0)
+        ins = []
+        for c in cols_np:
+            arr = c[start:start + max(n, 0)]
+            if pad:
+                arr = np.concatenate([arr, np.zeros(pad, np.int32)])
+            ins.append(_make_global(mesh, arr))
+        dev_outs.append(fn(comb_d, *ins))
+        ns.append(max(n, 0))
+    fetched = [
+        np.concatenate([_fetch_global(d[j], mesh)[:n]
+                        for d, n in zip(dev_outs, ns)])
+        for j in range(4)
+    ]
+    from ..ops.score import reduce_segments_to_tasks
 
-    degenerate = (pos64 >= len_a) | (len_a < min_read_len) | (len_b < min_read_len) | (counted == 0)
-    ok = ~degenerate & ~rejected
-    with np.errstate(divide="ignore", invalid="ignore"):
-        score = np.where(ok, np.exp(sum_log / np.maximum(counted, 1)), 0.0)
-        mism_rate = np.where(ok, mism / np.maximum(counted, 1), 1.0)
-    return TaskScores(score, mism_rate, sum_log, counted, mism, rejected)
+    return reduce_segments_to_tasks(fetched, bounds, pos64, len_a, len_b,
+                                    int(min_read_len))
 
 
-def _gather_across_processes(arrays):
-    """Fully replicate sharded outputs on every host. Single-process: the
-    arrays are fully addressable already. Multi-host (jax.distributed):
-    allgather over the mesh so each host can run the (replicated) graph
-    phase on the complete verified-edge stream."""
+def _make_global(mesh, host_arr: np.ndarray, replicated: bool = False):
+    """Build a global jax.Array over `mesh` from a host array every process
+    holds in full. Single-process: a plain device_put with the sharding.
+    Multi-host: make_array_from_callback slices each addressable shard out
+    of the full host copy — the documented-safe construction (the classic
+    pitfall is feeding a process-local jnp.asarray to a global-mesh jit)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    spec = P() if replicated else P(axis)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(host_arr, sharding)
+    return jax.make_array_from_callback(
+        host_arr.shape, sharding, lambda idx: host_arr[idx])
+
+
+def _fetch_global(arr, mesh) -> np.ndarray:
+    """Fetch a P(axis)-sharded global output to a full host numpy array on
+    every process. Single-process arrays are fully addressable; multi-host,
+    each process reassembles its addressable shards and allgathers the rest
+    over DCN (graph phases downstream are replicated host code that needs
+    the complete verified stream, SURVEY §5 distributed-backend note)."""
     import jax
 
     if jax.process_count() == 1:
-        return arrays
+        return np.asarray(arr)
     from jax.experimental import multihost_utils
 
-    return tuple(multihost_utils.process_allgather(a, tiled=True)
-                 for a in arrays)
+    local = multihost_utils.global_array_to_host_local_array(
+        arr, mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
+    return multihost_utils.process_allgather(np.asarray(local), tiled=True)
 
 
 @functools.lru_cache(maxsize=8)

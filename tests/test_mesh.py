@@ -44,6 +44,34 @@ def test_sharded_score_tasks_matches_oracle_exactly():
         np.testing.assert_allclose(ts.sum_log, to.sum_log, rtol=1e-4, atol=1e-3)
 
 
+def test_sharded_score_tasks_beyond_row_cap():
+    """Packed matrices taller than 65,536 rows must stay on the fast path
+    (the reference's own envelope is 500-1000x coverage per patch,
+    savage/README.md:313-319 — far above 32k reads). Row ids travel as full
+    int32, so the mesh path must agree exactly with the f64 oracle on
+    integer outputs at R > 2^16."""
+    from haploconduct_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(17)
+    R, W = (1 << 16) + 512, 64
+    codes = rng.integers(0, 4, (R, W)).astype(np.int8)
+    quals = rng.integers(2, 41, (R, W)).astype(np.uint8)
+    lens = rng.integers(40, W + 1, R).astype(np.int64)
+    B = 4096
+    # force tasks onto rows above the old 16-bit cap
+    row_a = rng.integers(R - 4096, R, B).astype(np.int64)
+    row_b = rng.integers(0, R, B).astype(np.int64)
+    pos = rng.integers(0, 30, B).astype(np.int64)
+
+    mesh = make_mesh(2)  # small mesh: the replicated matrix is ~100MB/device
+    ts = sharded_score_tasks(codes, quals, lens, row_a, row_b, pos, mesh=mesh)
+    to = score_tasks_numpy(codes, quals, lens, row_a, row_b, pos)
+    np.testing.assert_array_equal(ts.counted, to.counted)
+    np.testing.assert_array_equal(ts.mismatches, to.mismatches)
+    np.testing.assert_array_equal(ts.rejected, to.rejected)
+    np.testing.assert_allclose(ts.sum_log, to.sum_log, rtol=1e-4, atol=1e-3)
+
+
 def test_verify_overlaps_routes_through_mesh():
     from haploconduct_tpu.ops.verify import BACKEND_COUNTS, verify_overlaps
 

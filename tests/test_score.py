@@ -375,6 +375,62 @@ def test_mismatch_rate_exact_on_device_path():
                                   r32.scored["mismatch_rate"])
 
 
+def test_jax_segmented_drift_at_kb_widths():
+    """The XLA fallback now decomposes every task into SEG=512-lane
+    segments (shared body with the mesh path), so f32 accumulation error at
+    kb-scale task widths stays within the RECHECK_MARGIN safety budget that
+    the exactness machinery (ops/verify.py) assumes. Reference accumulates
+    in C++ double (src/EdgeCalculator.cpp:26-139)."""
+    from haploconduct_tpu.ops.score import RECHECK_MARGIN
+
+    rng = np.random.default_rng(23)
+    R, W = 64, 6200  # multi-kb contigs
+    codes = np.full((R, W), 4, np.int8)
+    quals = np.zeros((R, W), np.uint8)
+    lens = rng.integers(4000, W + 1, R).astype(np.int64)
+    for i in range(R):
+        codes[i, :lens[i]] = rng.integers(0, 4, lens[i])
+        quals[i, :lens[i]] = rng.integers(2, 41, lens[i])
+    B = 256
+    row_a = rng.integers(0, R, B).astype(np.int64)
+    row_b = rng.integers(0, R, B).astype(np.int64)
+    pos = np.array([rng.integers(0, max(1, lens[a] - 2000)) for a in row_a],
+                   np.int64)
+    tj = score_tasks_jax(codes, quals, lens, row_a, row_b, pos)
+    to = score_tasks_numpy(codes, quals, lens, row_a, row_b, pos)
+    np.testing.assert_array_equal(tj.counted, to.counted)
+    np.testing.assert_array_equal(tj.mismatches, to.mismatches)
+    drift = np.max(np.abs(tj.score - to.score))
+    assert drift < RECHECK_MARGIN / 4, drift
+
+
+@pytest.mark.skipif(os.environ.get("RUN_TPU") != "1",
+                    reason="needs the real TPU chip; set RUN_TPU=1")
+def test_pallas_beyond_row_cap():
+    """R > 2^16 packed rows on the real chip: the int32 row-id ABI must
+    route such matrices through the Pallas HBM-DMA kernel (the reference
+    streams unbounded overlap chunks, src/EdgeCalculator.cpp:571-644) and
+    match the oracle."""
+    from haploconduct_tpu.ops.pallas_score import (
+        _fits_vmem, pallas_supported, score_tasks_pallas)
+
+    rng = np.random.default_rng(3)
+    R, W = (1 << 16) + 512, 64
+    codes = rng.integers(0, 4, (R, W)).astype(np.int8)
+    quals = rng.integers(2, 41, (R, W)).astype(np.uint8)
+    lens = rng.integers(40, W + 1, R).astype(np.int64)
+    assert pallas_supported(codes) and not _fits_vmem(codes)
+    B = 4096
+    row_a = rng.integers(R - 4096, R, B).astype(np.int64)
+    row_b = rng.integers(0, R, B).astype(np.int64)
+    pos = rng.integers(0, 30, B).astype(np.int64)
+    tp = score_tasks_pallas(codes, quals, lens, row_a, row_b, pos)
+    to = score_tasks_numpy(codes, quals, lens, row_a, row_b, pos)
+    np.testing.assert_allclose(tp.sum_log, to.sum_log, rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(tp.mismatches, to.mismatches)
+    np.testing.assert_array_equal(tp.counted, to.counted)
+
+
 @pytest.mark.skipif(os.environ.get("RUN_TPU") != "1",
                     reason="needs the real TPU chip; set RUN_TPU=1")
 def test_pallas_kernel_hbm_resident():
