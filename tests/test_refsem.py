@@ -35,6 +35,28 @@ def test_umap_order_depends_only_on_sequence():
     assert umap_order(keys) != umap_order(keys[::-1]) or len(keys) <= 1
 
 
+def test_umap_order_canary_fixture():
+    """Recorded-fixture canary (VERDICT r2 weak #6): reference_order mode
+    assumes the LOCAL libstdc++'s unordered_map hash policy matches the one
+    the reference binary was built against. The fixture pins the replayed
+    iteration order for sequences crossing several prime bucket-growth
+    boundaries (13/29/59/127) and for large random keys; a hash-policy or
+    growth-policy drift in a libstdc++ upgrade fails here loudly instead of
+    silently breaking bit-identical parity (native/refsem.cpp:54-64)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "umap_order_canary.json")
+    with open(path) as f:
+        cases = json.load(f)
+    assert len(cases) >= 10
+    for name, rec in cases.items():
+        assert umap_order(rec["keys"]) == rec["order"], (
+            f"libstdc++ unordered_map iteration order drifted (case {name}); "
+            "reference_order parity mode is no longer bit-exact on this host")
+
+
 def test_reorder_map_preserves_items():
     d = {k: k * 10 for k in [5, 3, 9, 1, 7]}
     r = reorder_map(d)
