@@ -15,3 +15,11 @@ reference's on-disk formats available as an interchange/debug layer.
 """
 
 __version__ = "0.1.0"
+
+# Large-buffer allocator tuning (see utils/hostmem.py): the host phases
+# churn multi-MB NumPy temporaries every iteration; on lazily-faulted VM
+# memory the default glibc mmap-per-allocation costs ~50x. Opt out with
+# HC_NO_MALLOC_TUNE=1.
+from .utils.hostmem import tune_allocator as _tune_allocator
+
+_tune_allocator()

@@ -213,103 +213,130 @@ class SuperreadBuilder:
         reference uses — so results are bit-identical to the per-clique
         loop it replaces.
         """
+        import itertools
+
         min_support = self.s.min_clique_size
-        results: List = [None] * len(jobs)
+        nj = len(jobs)
+        results: List = [None] * nj
+        if nj == 0:
+            return results
 
         FAIL_SUPPORT = (np.zeros(0, np.int8), np.zeros(0, np.uint8), -1)
         FAIL_DEGEN = (np.zeros(0, np.int8), np.zeros(0, np.uint8), 0)
 
-        # ---- pass 1 (per job, cheap ints): trim, stop, abort conditions
-        live: List[int] = []  # job index
-        trims: List[int] = []
-        stops: List[int] = []
-        for j, (total_len, pos_list, seq_list, qual_list, ec) in enumerate(jobs):
-            n = len(pos_list)
-            if ec:
-                if n < min_support:
-                    results[j] = FAIL_SUPPORT
-                    continue
-                trim_pos = int(pos_list[min_support - 1])
-            else:
-                trim_pos = 0
-            pos = np.asarray(pos_list, dtype=np.int64)
-            lens = np.fromiter((len(sq) for sq in seq_list), dtype=np.int64,
-                               count=n)
-            ends = pos + lens
-            if ec:
-                # a sequence lying fully inside the trimmed prefix aborts
-                # the whole consensus: the reference hits
-                # `pos >= seq->length()` and fails (SRBuilder.cpp:478-481)
-                if np.any((ends <= trim_pos) & (pos < trim_pos)):
-                    results[j] = FAIL_DEGEN
-                    continue
-                # stop = first p >= max(pos) with support < min_support
-                # (mid-sequence dips before the last activation tolerated)
-                starts = np.maximum(pos, trim_pos)
-                cover = np.zeros(total_len + 1, dtype=np.int64)
-                np.add.at(cover, np.minimum(starts, total_len), 1)
-                np.add.at(cover, np.minimum(ends, total_len), -1)
-                coverage = np.cumsum(cover[:-1])
-                scan_from = max(trim_pos, int(pos.max()) if n else 0)
-                low = np.flatnonzero(coverage[scan_from:total_len] < min_support)
-                stop = scan_from + int(low[0]) if len(low) else total_len
-            else:
-                stop = total_len
-            width = stop - trim_pos
-            if width <= 0:
-                results[j] = (np.zeros(0, np.int8), np.zeros(0, np.uint8), trim_pos)
-                continue
-            live.append(j)
-            trims.append(trim_pos)
-            stops.append(stop)
+        # ---- flatten every job's members ONCE (job order, positions
+        # ascending — pos_list is maintained sorted by sort_vertices); all
+        # pass-1 conditions below are computed with flat segment ops, no
+        # per-job numpy calls (the per-job loop was the 10x-scale hotspot)
+        n_members = np.fromiter((len(j[1]) for j in jobs), dtype=np.int64,
+                                count=nj)
+        total_len = np.fromiter((j[0] for j in jobs), dtype=np.int64, count=nj)
+        ec_flags = np.fromiter((bool(j[4]) for j in jobs), dtype=bool, count=nj)
+        n_mem_total = int(n_members.sum())
+        m_job = np.repeat(np.arange(nj), n_members)
+        m_pos = np.fromiter(
+            itertools.chain.from_iterable(j[1] for j in jobs),
+            dtype=np.int64, count=n_mem_total)
+        seq_all: List[np.ndarray] = list(
+            itertools.chain.from_iterable(j[2] for j in jobs))
+        qual_all: List[np.ndarray] = list(
+            itertools.chain.from_iterable(j[3] for j in jobs))
+        m_len = np.fromiter((len(sq) for sq in seq_all), dtype=np.int64,
+                            count=n_mem_total)
+        m_end = m_pos + m_len
+        job_start = np.concatenate([[0], np.cumsum(n_members)])
 
-        if not live:
+        # ---- trim + support failure (SRBuilder.cpp:406-533)
+        fail_support = ec_flags & (n_members < min_support)
+        ec_ok = ec_flags & ~fail_support
+        trims_j = np.zeros(nj, dtype=np.int64)
+        if np.any(ec_ok):
+            idx_trim = job_start[:-1] + (min_support - 1)
+            sel = np.flatnonzero(ec_ok)
+            trims_j[sel] = m_pos[idx_trim[sel]]
+
+        # ---- degenerate abort: a sequence lying fully inside the trimmed
+        # prefix aborts the whole consensus — the reference hits
+        # `pos >= seq->length()` and fails (SRBuilder.cpp:478-481)
+        m_trim_all = trims_j[m_job]
+        bad = (m_end <= m_trim_all) & (m_pos < m_trim_all) & ec_ok[m_job]
+        fail_degen = np.bincount(m_job, weights=bad, minlength=nj) > 0
+
+        # ---- stop = first position >= max(pos) with support < min_support
+        # (mid-sequence dips before the last activation tolerated); computed
+        # for all surviving EC jobs at once over flat coverage segments
+        stops_j = total_len.copy()
+        ecj = np.flatnonzero(ec_ok & ~fail_degen)
+        if len(ecj):
+            seg_len = total_len[ecj] + 1
+            cov_base = np.concatenate([[0], np.cumsum(seg_len)])
+            C = int(cov_base[-1])
+            remap = np.full(nj, -1, dtype=np.int64)
+            remap[ecj] = np.arange(len(ecj))
+            mm = np.flatnonzero(remap[m_job] >= 0)
+            base_m = cov_base[remap[m_job[mm]]]
+            tl_m = total_len[m_job[mm]]
+            starts = np.maximum(m_pos[mm], m_trim_all[mm])
+            diff = (np.bincount(base_m + np.minimum(starts, tl_m), minlength=C)
+                    - np.bincount(base_m + np.minimum(m_end[mm], tl_m),
+                                  minlength=C))
+            # each job's +1/-1 pairs net to zero inside its own segment, so
+            # one global cumsum never leaks coverage across segments
+            coverage = np.cumsum(diff)
+            local = np.arange(C, dtype=np.int64) - np.repeat(cov_base[:-1],
+                                                             seg_len)
+            # pos_list sorted ascending -> per-job max(pos) is its last entry
+            pos_max = m_pos[job_start[1:] - 1]
+            scan_from = np.maximum(trims_j[ecj], pos_max[ecj])
+            slot_job = np.repeat(np.arange(len(ecj)), seg_len)
+            cond = ((coverage < min_support)
+                    & (local >= scan_from[slot_job])
+                    & (local < total_len[ecj][slot_job]))
+            BIG = np.int64(1) << 62
+            first_low = np.minimum.reduceat(np.where(cond, local, BIG),
+                                            cov_base[:-1])
+            stops_j[ecj] = np.where(first_low >= BIG, total_len[ecj],
+                                    first_low)
+
+        width_j = stops_j - trims_j
+        live_mask = ~fail_support & ~fail_degen & (width_j > 0)
+        # non-live results (support/degenerate/empty-width), in one sweep
+        for j in np.flatnonzero(~live_mask):
+            if fail_support[j]:
+                results[j] = FAIL_SUPPORT
+            elif fail_degen[j]:
+                results[j] = FAIL_DEGEN
+            else:
+                results[j] = (np.zeros(0, np.int8), np.zeros(0, np.uint8),
+                              int(trims_j[j]))
+        live = np.flatnonzero(live_mask)
+        if len(live) == 0:
             return results
 
-        # ---- pass 2: one flat scatter over all live jobs' member windows
-        widths = np.array([stops[i] - trims[i] for i in range(len(live))], dtype=np.int64)
+        # ---- pass 2: one flat scatter over all live jobs' member windows.
+        # The flat order — members in job order, positions ascending — is
+        # exactly the order the per-clique loop it replaces emitted, so the
+        # bincount accumulation below stays bit-identical.
+        widths = width_j[live]
         out_base = np.concatenate([[0], np.cumsum(widths)])
         W_total = int(out_base[-1])
+        job_out = np.zeros(nj, dtype=np.int64)
+        job_out[live] = out_base[:-1]
 
-        # flatten every live job's members once, then build all window
-        # gathers with cumsum index arithmetic (no per-member Python loop);
-        # the flat order — members in job order, positions ascending — is
-        # exactly the order the loop it replaces emitted, so the bincount
-        # accumulation below stays bit-identical
-        seq_all: List[np.ndarray] = []
-        qual_all: List[np.ndarray] = []
-        m_pos_l: List = []
-        m_trim_l: List = []
-        m_stop_l: List = []
-        m_base_l: List = []
-        for i, j in enumerate(live):
-            total_len, pos_list, seq_list, qual_list, ec = jobs[j]
-            seq_all.extend(seq_list)
-            qual_all.extend(qual_list)
-            m_pos_l.extend(int(p) for p in pos_list)
-            n_m = len(pos_list)
-            m_trim_l.extend([trims[i]] * n_m)
-            m_stop_l.extend([stops[i]] * n_m)
-            m_base_l.extend([int(out_base[i])] * n_m)
-        m_pos = np.array(m_pos_l, dtype=np.int64)
-        m_trim = np.array(m_trim_l, dtype=np.int64)
-        m_stop = np.array(m_stop_l, dtype=np.int64)
-        m_base = np.array(m_base_l, dtype=np.int64)
-        m_len = np.fromiter((len(sq) for sq in seq_all), dtype=np.int64,
-                            count=len(seq_all))
-        a = np.maximum(m_pos, m_trim)
-        b = np.minimum(m_pos + m_len, m_stop)
-        w_len = np.maximum(b - a, 0)
+        lm = live_mask[m_job]
+        a = np.maximum(m_pos, m_trim_all)
+        b = np.minimum(m_end, stops_j[m_job])
+        w_len = np.where(lm, np.maximum(b - a, 0), 0)
         tot = int(w_len.sum())
         if tot:
             seq_cat = np.concatenate(seq_all)
             qual_cat = np.concatenate(qual_all)
             seq_start = np.concatenate([[0], np.cumsum(m_len)[:-1]])
             w_start = np.cumsum(w_len) - w_len
-            rep = np.repeat(np.arange(len(m_pos)), w_len)
+            rep = np.repeat(np.arange(n_mem_total), w_len)
             offs = np.arange(tot, dtype=np.int64) - np.repeat(w_start, w_len)
             src = seq_start[rep] + (a - m_pos)[rep] + offs
-            gpos = m_base[rep] + (a - m_trim)[rep] + offs
+            gpos = job_out[m_job][rep] + (a - m_trim_all)[rep] + offs
             w = seq_cat[src].astype(np.int64)
             q = qual_cat[src].astype(np.int64)
         else:
@@ -365,12 +392,14 @@ class SuperreadBuilder:
 
         # ---- split back per job; a position with no active sequence
         # aborts that job's whole consensus
+        min_count = np.minimum.reduceat(counts, out_base[:-1])
         for i, j in enumerate(live):
-            lo, hi = int(out_base[i]), int(out_base[i + 1])
-            if np.any(counts[lo:hi] == 0):
+            if min_count[i] == 0:
                 results[j] = FAIL_DEGEN
             else:
-                results[j] = (codes_all[lo:hi].copy(), quals_all[lo:hi].copy(), trims[i])
+                lo, hi = int(out_base[i]), int(out_base[i + 1])
+                results[j] = (codes_all[lo:hi].copy(), quals_all[lo:hi].copy(),
+                              int(trims_j[j]))
         return results
 
     # -------------------------------------------- calcSubreadInfo (536-595)

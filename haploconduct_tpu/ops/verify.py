@@ -28,6 +28,15 @@ from ..utils.config import Settings
 from .score import (RECHECK_MARGIN, TaskScores, score_tasks_jax,
                     score_tasks_native, score_tasks_numpy)
 
+# The native C++ engine computes per-position probabilities from the SAME
+# f64 LUTs as the oracle and accumulates sum_log serially in f64; the only
+# drift vs the oracle is summation order (serial vs numpy pairwise), bounded
+# by n*eps ~ 512*2.2e-16 ~ 1e-13 relative on sum_log (plus ~1ulp libm-exp
+# divergence). 1e-6 is therefore 7 orders above the true bound — rechecking
+# within it makes decisions bit-identical while avoiding the f32-calibrated
+# 2e-3 margin's mass rescoring (~2% of all tasks at production thresholds).
+NATIVE_RECHECK_MARGIN = 1e-6
+
 EDGE_DTYPE = np.dtype(
     [
         ("v1", np.int64),
@@ -192,36 +201,52 @@ def combine_scores(
     meta: dict,
     ts: TaskScores,
     s: Settings,
+    sel: "np.ndarray | None" = None,
 ) -> np.ndarray:
-    """Per-overlap score/mismatch combine (src/EdgeCalculator.cpp:254-379)."""
-    n = len(ov)
-    s1 = ts.score[plan.t1_of]
-    m1 = ts.mismatch_rate[plan.t1_of]
-    has2 = plan.t2_of >= 0
-    s2 = np.where(has2, ts.score[np.maximum(plan.t2_of, 0)], 0.0)
-    m2 = np.where(has2, ts.mismatch_rate[np.maximum(plan.t2_of, 0)], 0.0)
+    """Per-overlap score/mismatch combine (src/EdgeCalculator.cpp:254-379).
+
+    With `sel` (overlap indices), combine only that subset — used to patch
+    recheck results into an existing edge array instead of recombining the
+    whole multi-million-row stream."""
+    if sel is None:
+        n = len(ov)
+        t1, t2 = plan.t1_of, plan.t2_of
+        ss = meta["ss"]
+    else:
+        n = len(sel)
+        ov = ov[sel]
+        t1, t2 = plan.t1_of[sel], plan.t2_of[sel]
+        ss = meta["ss"][sel]
+    s1 = ts.score[t1]
+    m1 = ts.mismatch_rate[t1]
+    has2 = t2 >= 0
+    s2 = np.where(has2, ts.score[np.maximum(t2, 0)], 0.0)
+    m2 = np.where(has2, ts.mismatch_rate[np.maximum(t2, 0)], 0.0)
 
     both_pass = (s1 > s.edge_threshold) & (s2 > s.edge_threshold)
     score_pe = np.where(both_pass, 0.5 * (s1 + s2), np.minimum(s1, s2))
-    score = np.where(meta["ss"], s1, score_pe)
-    mism = np.where(meta["ss"], m1, np.maximum(m1, m2))
+    score = np.where(ss, s1, score_pe)
+    mism = np.where(ss, m1, np.maximum(m1, m2))
+
+    def sub(a):
+        return a if sel is None else a[sel]
 
     edges = np.zeros(n, dtype=EDGE_DTYPE)
-    edges["v1"] = meta["ia"]
-    edges["v2"] = meta["ib"]
+    edges["v1"] = sub(meta["ia"])
+    edges["v2"] = sub(meta["ib"])
     edges["score"] = score
     edges["mismatch_rate"] = mism
     edges["pos1"] = ov["pos1"]
     edges["pos2"] = ov["pos2"]
-    edges["pos3"] = meta["pos3"]
-    edges["pos4"] = meta["pos4"]
-    edges["ori1"] = meta["ori_a"]
-    edges["ori2"] = meta["ori_b"]
+    edges["pos3"] = sub(meta["pos3"])
+    edges["pos4"] = sub(meta["pos4"])
+    edges["ori1"] = sub(meta["ori_a"])
+    edges["ori2"] = sub(meta["ori_b"])
     edges["ord"] = ov["ord"]
-    edges["perc"] = meta["perc"]
+    edges["perc"] = sub(meta["perc"])
     edges["len1"] = ov["len1"]
     # S-S edges record len2=0 even if the file carried one (set_len(len1, 0))
-    edges["len2"] = np.where(meta["ss"], 0, ov["len2"])
+    edges["len2"] = np.where(ss, 0, ov["len2"])
     return edges
 
 
@@ -278,7 +303,8 @@ def verify_overlaps(
             ts = ts._replace(score=np.minimum(ts.score, 1.0))
             ts = _exact_mismatch_rates(plan, ts, lens_by_row, kw)
             if s.exact and len(plan.row_first):
-                ts = _recheck_near_threshold(plan, ts, args, kw, s)
+                ts = _recheck_near_threshold(plan, ts, args, kw, s,
+                                             NATIVE_RECHECK_MARGIN)
     else:
         from .pallas_score import pallas_supported, score_tasks_pallas
         from ..parallel.mesh import device_count, sharded_score_tasks
@@ -306,12 +332,16 @@ def verify_overlaps(
     edges_all = combine_scores(ov, plan, meta, ts, s)
 
     if s.backend != "numpy" and s.exact and len(plan.row_first):
-        borderline_ov = (_near_threshold(edges_all["score"], s.edge_threshold)
-                         | _near_threshold(edges_all["score"], s.ov_threshold))
+        margin = NATIVE_RECHECK_MARGIN if s.backend == "native" else RECHECK_MARGIN
+        borderline_ov = (_near_threshold(edges_all["score"], s.edge_threshold, margin)
+                         | _near_threshold(edges_all["score"], s.ov_threshold, margin))
         if np.any(borderline_ov):
             RECHECK_STATS["overlaps"] = int(np.sum(borderline_ov))
             ts = _recheck_tasks_of(plan, ts, args, kw, borderline_ov)
-            edges_all = combine_scores(ov, plan, meta, ts, s)
+            # patch only the rechecked overlaps' rows — a full recombine of
+            # the multi-million-row stream would double the combine cost
+            idx = np.flatnonzero(borderline_ov)
+            edges_all[idx] = combine_scores(ov, plan, meta, ts, s, sel=idx)
 
     score = edges_all["score"]
     mism = edges_all["mismatch_rate"]
@@ -353,9 +383,10 @@ def _exact_mismatch_rates(plan: TaskPlan, ts: TaskScores, lens_by_row, kw) -> Ta
     return ts._replace(mismatch_rate=exact)
 
 
-def _near_threshold(score: np.ndarray, thresh: float) -> np.ndarray:
-    """Scores within RECHECK_MARGIN of a threshold whose `score > thresh`
-    decision f32 rounding could actually flip.
+def _near_threshold(score: np.ndarray, thresh: float,
+                    margin: float = RECHECK_MARGIN) -> np.ndarray:
+    """Scores within `margin` of a threshold whose `score > thresh`
+    decision backend rounding could actually flip.
 
     - thresh >= 1.0: unattainable. Scores are exp(mean log p) with every
       p < 1, so score < 1.0 in exact math, and device scores are clamped
@@ -371,13 +402,15 @@ def _near_threshold(score: np.ndarray, thresh: float) -> np.ndarray:
     Only 0 < thresh < 1 thresholds get the margin re-scoring."""
     if thresh >= 1.0 or thresh <= 0.0:
         return np.zeros(len(score), dtype=bool)
-    return np.abs(score - thresh) < RECHECK_MARGIN
+    return np.abs(score - thresh) < margin
 
 
-def _recheck_near_threshold(plan: TaskPlan, ts: TaskScores, args, kw, s: Settings) -> TaskScores:
+def _recheck_near_threshold(plan: TaskPlan, ts: TaskScores, args, kw,
+                            s: Settings,
+                            margin: float = RECHECK_MARGIN) -> TaskScores:
     """Re-score near-threshold tasks with the f64 oracle."""
-    borderline_task = (_near_threshold(ts.score, s.edge_threshold)
-                       | _near_threshold(ts.score, s.ov_threshold))
+    borderline_task = (_near_threshold(ts.score, s.edge_threshold, margin)
+                       | _near_threshold(ts.score, s.ov_threshold, margin))
     if not np.any(borderline_task):
         return ts
     return _recheck_task_idx(plan, ts, args, kw, np.flatnonzero(borderline_task))
