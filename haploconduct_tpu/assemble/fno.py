@@ -334,42 +334,54 @@ class FNO1:
 
     def _inclusion_overlaps(self) -> None:
         """Induce S-S edges through removed inclusion vertices
-        (findInclusionOverlaps, FindNextOverlaps.cpp:816-887)."""
+        (findInclusionOverlaps, FindNextOverlaps.cpp:816-887).
+
+        The per-vertex pair enumeration is vectorized (triu pair indices in
+        the reference's i<j order); only surviving candidates reach the
+        Python emit path, in the original emission order."""
         g, store, s = self.g, self.store, self.s
+        if not g.inclusion_edges:
+            return
+        paired = np.asarray(store.is_paired, dtype=bool)
+        read_lens = np.array([store.read_len(i) for i in range(len(store))],
+                             dtype=np.int64)
+        av1, av2 = g.edge_endpoints()
+        pair_set = set(zip(av1.tolist(), av2.tolist()))
         for edge_list in g.inclusion_edges:
             ln = len(edge_list)
-            for i in range(ln):
-                for j in range(i + 1, ln):
-                    e1, e2 = edge_list[i], edge_list[j]
-                    if int(e1["v1"]) == int(e2["v1"]):
-                        continue
-                    if int(e1["v1"]) == int(e2["v2"]):
-                        n1, n2 = int(e2["v1"]), int(e1["v2"])
-                        pos1 = int(e2["pos1"])
-                        ori1, ori2 = bool(e2["ori1"]), bool(e1["ori2"])
-                    elif int(e1["v2"]) == int(e2["v1"]):
-                        n1, n2 = int(e1["v1"]), int(e2["v2"])
-                        pos1 = int(e1["pos1"])
-                        ori1, ori2 = bool(e1["ori1"]), bool(e2["ori2"])
-                    else:
-                        continue
-                    if store.is_paired[n1] or store.is_paired[n2]:
-                        continue
-                    l1 = store.read_len(n1)
-                    l2 = store.read_len(n2)
-                    length = min(l1 - pos1, l2)
-                    perc = (100 * length) // min(l1, l2)
-                    if g.check_edge(n1, n2, reverse_allowed=True) != -1:
-                        continue
-                    erow = np.zeros(1, dtype=rows_dtype())[0]
-                    erow["v1"], erow["v2"] = n1, n2
-                    erow["score"] = s.edge_threshold
-                    erow["pos1"], erow["pos2"] = pos1, 0
-                    erow["ori1"], erow["ori2"] = ori1, ori2
-                    erow["ord"] = b"-"
-                    erow["perc"] = perc
-                    erow["len1"], erow["len2"] = length, 0
-                    self._update_overlap(erow)
+            if ln < 2:
+                continue
+            arr = np.array(edge_list, dtype=rows_dtype())
+            i_idx, j_idx = np.triu_indices(ln, k=1)
+            e1, e2 = arr[i_idx], arr[j_idx]
+            case1 = (e1["v1"] != e2["v1"]) & (e1["v1"] == e2["v2"])
+            case2 = (e1["v1"] != e2["v1"]) & ~case1 & (e1["v2"] == e2["v1"])
+            n1 = np.where(case1, e2["v1"], e1["v1"]).astype(np.int64)
+            n2 = np.where(case1, e1["v2"], e2["v2"]).astype(np.int64)
+            okm = (case1 | case2) & ~paired[n1] & ~paired[n2]
+            idxs = np.flatnonzero(okm)
+            if len(idxs) == 0:
+                continue
+            pos1 = np.where(case1, e2["pos1"], e1["pos1"]).astype(np.int64)
+            ori1 = np.where(case1, e2["ori1"], e1["ori1"])
+            ori2 = np.where(case1, e1["ori2"], e2["ori2"])
+            l1 = read_lens[n1[idxs]]
+            l2 = read_lens[n2[idxs]]
+            length = np.minimum(l1 - pos1[idxs], l2)
+            perc = (100 * length) // np.minimum(l1, l2)
+            for k, kk in enumerate(idxs):
+                a, b = int(n1[kk]), int(n2[kk])
+                if (a, b) in pair_set or (b, a) in pair_set:
+                    continue
+                erow = np.zeros(1, dtype=rows_dtype())[0]
+                erow["v1"], erow["v2"] = a, b
+                erow["score"] = s.edge_threshold
+                erow["pos1"], erow["pos2"] = int(pos1[kk]), 0
+                erow["ori1"], erow["ori2"] = bool(ori1[kk]), bool(ori2[kk])
+                erow["ord"] = b"-"
+                erow["perc"] = int(perc[k])
+                erow["len1"], erow["len2"] = int(length[k]), 0
+                self._update_overlap(erow)
 
 
 def rows_dtype():

@@ -71,6 +71,7 @@ class ShufflePerms:
         self._rng = GlibcRand(seed)
         self._rands: List[int] = []
         self._perms: dict = {0: [], 1: [0]}
+        self._perms_np: dict = {}
 
     def perm(self, n: int) -> List[int]:
         p = self._perms.get(n)
@@ -84,6 +85,12 @@ class ShufflePerms:
             self._perms[n] = p
         return p
 
+    def perm_np(self, n: int) -> np.ndarray:
+        p = self._perms_np.get(n)
+        if p is None:
+            p = self._perms_np[n] = np.asarray(self.perm(n), dtype=np.int64)
+        return p
+
     def shuffle(self, seq: list) -> list:
         return [seq[i] for i in self.perm(len(seq))]
 
@@ -91,12 +98,16 @@ class ShufflePerms:
 _shuffle_cache: dict = {}
 
 
-def shuffle_fresh_seed(seq: list, seed: int) -> list:
-    """random_shuffle(seq) as if preceded by srand(seed), via the cache."""
+def _shuffle_perms(seed: int) -> ShufflePerms:
     sp = _shuffle_cache.get(seed)
     if sp is None:
         sp = _shuffle_cache[seed] = ShufflePerms(seed)
-    return sp.shuffle(seq)
+    return sp
+
+
+def shuffle_fresh_seed(seq: list, seed: int) -> list:
+    """random_shuffle(seq) as if preceded by srand(seed), via the cache."""
+    return _shuffle_perms(seed).shuffle(seq)
 
 
 # --------------------------------------------------------------------------
@@ -108,58 +119,135 @@ def sort_vertices_by_indegree(g: OverlapGraph) -> np.ndarray:
     return np.lexsort((np.arange(g.n), deg))
 
 
-def _label_vertices(g: OverlapGraph, rand_seed: int):
-    """One BFS labelling pass. Returns (orientations, edges_to_move,
-    edges_to_delete) where moves/deletes are edge indices; the edge
-    transformation itself is applied later by the caller."""
-    rows = g.edges
-    orientations = np.ones(g.n, dtype=bool)
-    visited = np.zeros(g.n, dtype=bool)
-    order = sort_vertices_by_indegree(g)
+class _LabelCtx:
+    """Pass-independent state for the labelling heuristic: the merged
+    per-node neighbor/parity arrays (adj_in entries first, then adj_out —
+    the exact adjacency order the per-pass shuffle permutes) and the flat
+    out-edge scan used for classification. Built once per call; the <=100
+    passes differ only in the shuffle seed."""
 
-    from collections import deque
+    def __init__(self, g: OverlapGraph):
+        rows = g.edges
+        n = g.n
+        self.g = g
+        self.n = n
+        in_counts = np.fromiter((len(l) for l in g.adj_in), np.int64, count=n)
+        out_counts = np.fromiter((len(l) for l in g.adj_out), np.int64, count=n)
+        n_in, n_out = int(in_counts.sum()), int(out_counts.sum())
+        in_flat = np.fromiter((e for l in g.adj_in for e in l), np.int64,
+                              count=n_in)
+        out_flat = np.fromiter((e for l in g.adj_out for e in l), np.int64,
+                               count=n_out)
+        in_nb = rows["v1"][in_flat].astype(np.int64)
+        out_nb = rows["v2"][out_flat].astype(np.int64)
+        out_src = np.repeat(np.arange(n, dtype=np.int64), out_counts)
+        in_dst = np.repeat(np.arange(n, dtype=np.int64), in_counts)
 
-    bfs = deque()
-    for start in order:
-        start = int(start)
-        if not visited[start]:
-            bfs.append(start)
-            visited[start] = True
-        while bfs:
-            node = bfs.popleft()
-            adj_vec = [int(rows["v1"][e]) for e in g.adj_in[node]]
-            adj_vec += [int(rows["v2"][e]) for e in g.adj_out[node]]
-            # reference re-seeds srand(rand_seed) per node -> cached perm
-            adj_vec = shuffle_fresh_seed(adj_vec, rand_seed)
-            for nb in adj_vec:
-                if not visited[nb]:
-                    bfs.append(nb)
-                    visited[nb] = True
-                    e = g.get_edge_idx(node, nb, reverse_allowed=True)
-                    same = bool(rows["ori1"][e] == rows["ori2"][e])
-                    orientations[nb] = orientations[node] if same else not orientations[node]
-    assert visited.all()
+        # parity(entry) must equal the parity of the edge get_edge_idx(node,
+        # nb) finds: adj_out[node] is searched first, so an in-entry whose
+        # reverse out-edge exists (a 2-cycle) takes THAT edge's parity
+        par_out = rows["ori1"][out_flat] == rows["ori2"][out_flat]
+        key_out = out_src * n + out_nb
+        uk, first_idx = np.unique(key_out, return_index=True)
+        key_in_rev = in_dst * n + in_nb  # (node, u) for in-edge u -> node
+        par_in_own = rows["ori1"][in_flat] == rows["ori2"][in_flat]
+        if len(uk):
+            pos = np.searchsorted(uk, key_in_rev)
+            posc = np.minimum(pos, len(uk) - 1)
+            found = (pos < len(uk)) & (uk[posc] == key_in_rev)
+            par_in = np.where(found, par_out[first_idx[posc]], par_in_own)
+        else:
+            par_in = par_in_own
 
-    # classify edges against the labelling — vectorized
-    to_delete: List[int] = []
-    to_flip: List[int] = []  # flip in place
-    to_move: List[int] = []  # flip + move to the other adjacency list
-    for v in range(g.n):
-        for e in g.adj_out[v]:
-            o1, o2 = bool(rows["ori1"][e]), bool(rows["ori2"][e])
-            l1, l2 = bool(orientations[rows["v1"][e]]), bool(orientations[rows["v2"][e]])
-            if o1 == l1 and o2 == l2:
+        deg = in_counts + out_counts
+        start = np.concatenate([[0], np.cumsum(deg)])
+        total = int(start[-1])
+        merged_nb = np.empty(total, np.int64)
+        merged_sm = np.empty(total, np.bool_)
+
+        def within(counts, tot):
+            return (np.arange(tot, dtype=np.int64)
+                    - np.repeat(np.cumsum(counts) - counts, counts))
+
+        in_pos = np.repeat(start[:-1], in_counts) + within(in_counts, n_in)
+        out_pos = (np.repeat(start[:-1] + in_counts, out_counts)
+                   + within(out_counts, n_out))
+        merged_nb[in_pos] = in_nb
+        merged_sm[in_pos] = par_in
+        merged_nb[out_pos] = out_nb
+        merged_sm[out_pos] = par_out
+        self.start = start
+        self.merged_nb = merged_nb
+        self.merged_sm = merged_sm
+        self.order = [int(v) for v in sort_vertices_by_indegree(g)]
+
+        # classification scan: alive edges in (source vertex, adjacency
+        # position) order — the reference's iteration order
+        self.e_scan = out_flat
+        self.c_o1 = rows["ori1"][out_flat]
+        self.c_o2 = rows["ori2"][out_flat]
+        self.c_v1 = rows["v1"][out_flat].astype(np.int64)
+        self.c_v2 = rows["v2"][out_flat].astype(np.int64)
+        self.c_par = self.c_o1 == self.c_o2
+        self.c_pos1 = rows["pos3"][out_flat].astype(np.int64)
+
+    def bfs(self, rand_seed: int, orientations: np.ndarray,
+            starts, visited: np.ndarray, comp: "np.ndarray | None" = None):
+        """BFS labelling over the given start nodes (component roots or the
+        full indegree order); writes orientations/visited in place. With
+        `comp`, records the start index that discovered each node."""
+        from collections import deque
+
+        sp = _shuffle_perms(rand_seed)
+        start_arr = self.start
+        merged_nb = self.merged_nb
+        merged_sm = self.merged_sm
+        bfs = deque()
+        for ci, root in enumerate(starts):
+            if visited[root]:
                 continue
-            if (o1 == o2) != (l1 == l2):
-                to_delete.append(e)
-            else:
-                # flipping matches the labelling; moving iff direction swaps
-                pos1, v1, v2 = int(rows["pos3"][e]), int(rows["v1"][e]), int(rows["v2"][e])
-                if pos1 < 0 or (pos1 == 0 and v1 > v2):
-                    to_move.append(e)
-                else:
-                    to_flip.append(e)
-    return orientations, to_flip, to_move, to_delete
+            visited[root] = True
+            if comp is not None:
+                comp[root] = ci
+            bfs.append(root)
+            while bfs:
+                node = bfs.popleft()
+                s0, e0 = int(start_arr[node]), int(start_arr[node + 1])
+                k = e0 - s0
+                if k == 0:
+                    continue
+                p = sp.perm_np(k)
+                nbs = merged_nb[s0:e0][p].tolist()
+                sms = merged_sm[s0:e0][p].tolist()
+                o_node = bool(orientations[node])
+                for nb, same in zip(nbs, sms):
+                    if not visited[nb]:
+                        visited[nb] = True
+                        orientations[nb] = o_node == same
+                        if comp is not None:
+                            comp[nb] = ci
+                        bfs.append(nb)
+
+    def classify(self, orientations: np.ndarray):
+        """Vectorized port of the reference's per-edge conflict scan.
+        Returns (to_flip, to_move, to_delete) edge-id lists in the same
+        (source vertex, adjacency position) order the loop emitted."""
+        l1 = orientations[self.c_v1]
+        l2 = orientations[self.c_v2]
+        ok = (self.c_o1 == l1) & (self.c_o2 == l2)
+        par_violation = ~ok & (self.c_par != (l1 == l2))
+        mv = ~ok & ~par_violation
+        move_mask = mv & ((self.c_pos1 < 0)
+                          | ((self.c_pos1 == 0) & (self.c_v1 > self.c_v2)))
+        return (self.e_scan[mv & ~move_mask].tolist(),
+                self.e_scan[move_mask].tolist(),
+                self.e_scan[par_violation].tolist())
+
+    def count_deletes(self, orientations: np.ndarray, sub: np.ndarray) -> int:
+        l1 = orientations[self.c_v1[sub]]
+        l2 = orientations[self.c_v2[sub]]
+        ok = (self.c_o1[sub] == l1) & (self.c_o2[sub] == l2)
+        return int(np.count_nonzero(~ok & (self.c_par[sub] != (l1 == l2))))
 
 
 def _switch_edge_orientation(g: OverlapGraph, e: int) -> bool:
@@ -200,15 +288,57 @@ def _switch_edge_orientation(g: OverlapGraph, e: int) -> bool:
 def vertex_labelling_heuristic(g: OverlapGraph) -> int:
     """Try up to 100 BFS labellings, keep the one deleting fewest edges,
     then flip/move/delete edges to make every edge agree with the labels.
-    Returns the number of conflicting edges removed."""
-    best = _label_vertices(g, 1)
-    count = 1
-    while count < 100 and len(best[3]) > 0:
-        count += 1
-        trial = _label_vertices(g, count)
-        if len(trial[3]) < len(best[3]):
-            best = trial
-    orientations, to_flip, to_move, to_delete = best
+    Returns the number of conflicting edges removed.
+
+    Identical results to the reference's full-restart scheme
+    (GraphAlgos.cpp:178-349) at a fraction of the cost: orientations are
+    root-relative edge-parity products, so in a component with no parity-
+    inconsistent cycle every BFS tree yields the SAME labelling (the root —
+    the component's first vertex in indegree order — never depends on the
+    shuffle, and the reference re-seeds srand per node, so per-component
+    traversals are independent of each other). Deletions can only come from
+    parity-inconsistent components; passes 2..100 therefore re-BFS only
+    those components and score deletions on their edges alone."""
+    ctx = _LabelCtx(g)
+    n = g.n
+
+    # pass 1: full BFS + component discovery
+    orientations = np.ones(n, dtype=bool)
+    visited = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    ctx.bfs(1, orientations, ctx.order, visited, comp)
+    assert visited.all()
+    to_flip, to_move, to_delete = ctx.classify(orientations)
+    best_count = len(to_delete)
+    best_seed = 1
+
+    if best_count > 0:
+        # conflicted components = those containing a parity-violating edge
+        del_arr = np.asarray(to_delete, dtype=np.int64)
+        conf_comps = np.unique(comp[g.edges["v1"][del_arr].astype(np.int64)])
+        conf_set = np.zeros(n, dtype=bool)
+        conf_set[conf_comps] = True
+        sub = np.flatnonzero(conf_set[comp[ctx.c_v1]])
+        # comp[v] is the index into pass 1's start sequence (= ctx.order)
+        # whose BFS discovered v, so order[ci] is that component's root
+        roots = [ctx.order[int(ci)] for ci in conf_comps]
+
+        count = 1
+        scratch_vis = np.zeros(n, dtype=bool)
+        while count < 100 and best_count > 0:
+            count += 1
+            trial_ori = orientations.copy()
+            scratch_vis[:] = False
+            ctx.bfs(count, trial_ori, roots, scratch_vis)
+            trial_count = ctx.count_deletes(trial_ori, sub)
+            if trial_count < best_count:
+                best_count = trial_count
+                best_seed = count
+
+        if best_seed != 1:
+            scratch_vis[:] = False
+            ctx.bfs(best_seed, orientations, roots, scratch_vis)
+            to_flip, to_move, to_delete = ctx.classify(orientations)
 
     for e in to_flip:
         moved = _switch_edge_orientation(g, e)

@@ -287,19 +287,38 @@ class OverlapGraph:
         in_cuts = np.cumsum(in_counts)[:-1]
         self.adj_in = [ids.tolist() for ids in np.split(flat_sorted[in_order], in_cuts)]
 
+    def _flat_adj_out(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(edge ids, owning vertex) of every adj_out entry in list order."""
+        counts = np.fromiter((len(self.adj_out[v]) for v in range(self.n)),
+                             dtype=np.int64, count=self.n)
+        total = int(counts.sum())
+        flat = np.fromiter((e for lst in self.adj_out for e in lst),
+                           dtype=np.int64, count=total)
+        v_of = np.repeat(np.arange(self.n, dtype=np.int64), counts)
+        return flat, v_of
+
     def sort_adj_out_by_target(self) -> None:
-        """Sort adj_out lists by out-neighbor id (sortAdjOut)."""
-        rows = self.edges
-        for v in range(self.n):
-            self.adj_out[v].sort(key=lambda e: int(rows["v2"][e]))
+        """Sort adj_out lists by out-neighbor id (sortAdjOut) — one flat
+        stable lexsort instead of a per-node key-callback sort."""
+        flat, v_of = self._flat_adj_out()
+        if len(flat) == 0:
+            return
+        v2_of = self.edges["v2"][flat].astype(np.int64)
+        order = np.lexsort((np.arange(len(flat), dtype=np.int64), v2_of, v_of))
+        flat_sorted = flat[order]
+        cuts = np.cumsum(np.bincount(v_of, minlength=self.n))[:-1]
+        self.adj_out = [ids.tolist() for ids in np.split(flat_sorted, cuts)]
 
     def rebuild_adj_in(self) -> None:
-        new_adj_in: List[List[int]] = [[] for _ in range(self.n)]
-        rows = self.edges
-        for v in range(self.n):
-            for e in self.adj_out[v]:
-                new_adj_in[int(rows["v2"][e])].append(e)
-        self.adj_in = new_adj_in
+        """adj_in[w] rebuilt in v1-major adj_out traversal order."""
+        flat, v_of = self._flat_adj_out()
+        if len(flat) == 0:
+            self.adj_in = [[] for _ in range(self.n)]
+            return
+        v2_of = self.edges["v2"][flat].astype(np.int64)
+        order = np.lexsort((np.arange(len(flat), dtype=np.int64), v2_of))
+        cuts = np.cumsum(np.bincount(v2_of, minlength=self.n))[:-1]
+        self.adj_in = [ids.tolist() for ids in np.split(flat[order], cuts)]
 
     # ------------------------------------------------------------- queries
     def out_degree(self) -> np.ndarray:
