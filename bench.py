@@ -59,36 +59,39 @@ def bench_device(packed, lens, row_a, row_b, pos, repeats: int = 20):
     from haploconduct_tpu.ops import pallas_score as P
 
     combined = P.pack_for_pallas(packed.codes, packed.quals)
-    b = len(row_a)
     L = np.minimum(lens[row_a].astype(np.int64) - pos, lens[row_b]).astype(np.int64)
     s_rowa, s_rowb, s_posa, s_bolen, _ = P.segment_tasks(
         row_a.astype(np.int64), row_b.astype(np.int64), pos.astype(np.int64), L)
-    pad = (-len(s_rowa)) % P.TB
-    if pad:
-        z = np.zeros(pad, np.int32)
-        s_rowa = np.concatenate([s_rowa, z])
-        s_rowb = np.concatenate([s_rowb, z])
-        s_posa = np.concatenate([s_posa, z])
-        s_bolen = np.concatenate([s_bolen, z])
+    n_sub = len(s_rowa)
+    # each pallas_call's scalar-prefetch slice must fit the SMEM budget:
+    # shape the stream (C, CHUNK) and loop chunks on device
+    pad = (-n_sub) % P.CHUNK
+    cols = []
+    for c in (s_rowa, s_rowb, s_posa, s_bolen):
+        if pad:
+            c = np.concatenate([c, np.zeros(pad, np.int32)])
+        cols.append(c.reshape(-1, P.CHUNK))
+    C = cols[0].shape[0]
     kernel = P._build_kernel(0.0)
 
     @jax.jit
     def repeat_run(cd, ra, rb, pp, bp):
         def body(i, acc):
-            out = kernel(cd, jnp.roll(ra, i), jnp.roll(rb, i),
-                         jnp.roll(pp, i), jnp.roll(bp, i))
+            c = i % C
+            out = kernel(cd, jnp.roll(ra[c], i), jnp.roll(rb[c], i),
+                         jnp.roll(pp[c], i), jnp.roll(bp[c], i))
             return acc + jnp.sum(out[0])
 
-        return jax.lax.fori_loop(0, repeats, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, repeats * C, body, jnp.float32(0))
 
     cd = jnp.asarray(combined)
-    ra, rb = jnp.asarray(s_rowa), jnp.asarray(s_rowb)
-    pp, bp = jnp.asarray(s_posa), jnp.asarray(s_bolen)
+    ra, rb = jnp.asarray(cols[0]), jnp.asarray(cols[1])
+    pp, bp = jnp.asarray(cols[2]), jnp.asarray(cols[3])
     float(repeat_run(cd, ra, rb, pp, bp))  # compile + warmup
     t0 = time.perf_counter()
     float(repeat_run(cd, ra, rb, pp, bp))
     dt = time.perf_counter() - t0
-    return b * repeats / dt
+    return n_sub * repeats / dt
 
 
 def bench_cpu(packed, lens, row_a, row_b, pos):
@@ -153,6 +156,112 @@ def bench_e2e(backend: str = "native"):
     return 0
 
 
+def bench_mesh(virtual: int = 0):
+    """Multi-device scaling of the sharded verification path (VERDICT r2
+    task 4): verifications/s through parallel/mesh.py's sharded segment
+    scorer at every power-of-two device count the backend exposes.
+
+    With --virtual8 the run forces an 8-virtual-device CPU mesh (shape +
+    scaling-efficiency measurement; NOTE this dev host has 2 physical
+    cores, so >2 virtual devices cannot speed anything up — the honest
+    ceiling for CPU efficiency here is n_cores/n_devices). On the real TPU
+    (driver run) exactly one chip is visible and the 1-chip rate is the
+    anchor for BASELINE.md's measurement-point table."""
+    import os as _os
+
+    if virtual:
+        flags = _os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            _os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={virtual}"
+            ).strip()
+    import jax
+
+    if virtual:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from haploconduct_tpu.ops.pallas_score import (CHUNK, TB, pack_for_pallas,
+                                                   segment_tasks)
+    from haploconduct_tpu.parallel.mesh import (_make_global,
+                                                _sharded_segment_fn, make_mesh)
+
+    n_tasks = int(os.environ.get("BENCH_TASKS", 65536))
+    packed, lens, row_a, row_b, pos = build_workload(n_tasks)
+    combined = pack_for_pallas(packed.codes, packed.quals)
+    L = np.minimum(lens[row_a].astype(np.int64) - pos, lens[row_b]).astype(np.int64)
+    s_rowa, s_rowb, s_posa, s_bolen, _ = segment_tasks(
+        row_a.astype(np.int64), row_b.astype(np.int64), pos.astype(np.int64), L)
+
+    n_avail = len(jax.devices())
+    counts = [c for c in (1, 2, 4, 8, 16) if c <= n_avail]
+    repeats = 8
+    rates = {}
+    for n_dev in counts:
+        mesh = make_mesh(n_dev)
+        fn = _sharded_segment_fn(0.0)(mesh)
+        # per-device scalar-prefetch slices must stay within the Pallas
+        # SMEM budget: dispatch the stream in CHUNK-per-device slices, all
+        # chunks in flight before the blocking fetch (same dispatch pattern
+        # as parallel/mesh.py:sharded_score_tasks)
+        step = n_dev * CHUNK
+        n_sub = len(s_rowa)
+        pad_full = (-n_sub) % (n_dev * TB)
+        total = n_sub + pad_full
+        comb_d = _make_global(mesh, combined, replicated=True)
+        chunks = []
+        for start in range(0, total, step):
+            end = min(start + step, total)
+            cols = []
+            for c in (s_rowa, s_rowb, s_posa, s_bolen):
+                arr = c[start:min(end, n_sub)]
+                if end - start - len(arr):
+                    arr = np.concatenate(
+                        [arr, np.zeros(end - start - len(arr), np.int32)])
+                cols.append(_make_global(mesh, arr))
+            chunks.append(cols)
+
+        def run_all():
+            acc = 0.0
+            for cols in chunks:
+                outs = fn(comb_d, *cols)
+                # scalar checksum fetch: float() blocks until the kernel
+                # actually completed (block_until_ready alone can return on
+                # dispatch acknowledgement through the remote-TPU tunnel)
+                acc += float(jnp.sum(outs[1]))
+            return acc
+
+        run_all()  # compile + warmup
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run_all()
+            best = min(best, time.perf_counter() - t0)
+        # min across repeats: least host/tunnel interference
+        rates[n_dev] = n_tasks / best
+
+    base = rates[counts[0]]
+    top = counts[-1]
+    out = {
+        "metric": f"mesh-sharded verifications/s @ {top} device(s)",
+        "value": round(rates[top]),
+        "unit": "verifications/s",
+        "vs_baseline": round(rates[top] / base, 2),  # scaling vs 1 device
+        "per_device_count": {str(k): round(v) for k, v in rates.items()},
+        "platform": jax.devices()[0].platform,
+        "host_cores": os.cpu_count(),
+        "n_subtasks": int(len(s_rowa)),
+    }
+    if out["platform"] in ("tpu", "axon"):
+        # the dispatch-level rates above are host-round-trip bound on the
+        # tunneled dev chip; the chip-throughput anchor is the on-device
+        # repeat loop (same number the headline bench reports)
+        out["onchip_loop_1dev"] = round(
+            bench_device(packed, lens, row_a, row_b, pos))
+    print(json.dumps(out))
+    return 0
+
+
 def bench_candidates():
     """Candidate-generation throughput (VERDICT r1 task 6): the TPU
     sort-join (ops/kmer_device.py) vs the host k-mer engine (ops/kmer.py)
@@ -197,6 +306,8 @@ def bench_candidates():
 
 
 def main():
+    if "--mesh" in sys.argv:
+        return bench_mesh(virtual=8 if "--virtual8" in sys.argv else 0)
     if "--cands" in sys.argv:
         return bench_candidates()
     if "--e2e" in sys.argv:
