@@ -314,11 +314,16 @@ class _AssemblyLoop:
 
 def run_polyte(store: ReadStore, cfg: PolyteConfig,
                preprocessing: bool = True,
-               original_store: Optional[ReadStore] = None) -> PolyteResult:
+               original_store: Optional[ReadStore] = None,
+               initial_overlaps: Optional[np.ndarray] = None) -> PolyteResult:
     """`preprocessing=False` takes `store` as the already-renamed single-end
     read set (polyte --no_preprocessing, used per region by polyte-split);
     `original_store` overrides the evidence read set for branch reduction
-    (split mode passes the full-genome read set, polyte-split.py:505-517).
+    (split mode passes the full-genome read set, polyte-split.py:505-517);
+    `initial_overlaps` replaces the de novo candidate generation for the
+    FIRST iteration only (--ref_guided_mode: preprocessing_ref induces the
+    initial overlaps from reference alignment, polyte.py:316-318,526-535;
+    later iterations re-overlap contigs de novo either way, polyte.py:403).
     """
     assert cfg.insert_size > 0, "insert_size required"
     ns = store.readcount_single
@@ -339,7 +344,11 @@ def run_polyte(store: ReadStore, cfg: PolyteConfig,
         if cfg.hap_cov > 0 else {}
 
     single_store = concat_to_single_end(store) if preprocessing else store
-    overlaps = single_end_candidates(single_store, mol_ec, cfg.sfo_err, cfg.kmer_k)
+    if initial_overlaps is not None:
+        overlaps = initial_overlaps
+    else:
+        overlaps = single_end_candidates(single_store, mol_ec, cfg.sfo_err,
+                                         cfg.kmer_k)
 
     evidence_store = original_store if original_store is not None else single_store
     loop = _AssemblyLoop(cfg, evidence_store, thresholds, SE_count, PE_count,

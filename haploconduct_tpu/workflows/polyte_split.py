@@ -42,6 +42,9 @@ class PolyteSplitResult:
     final: Optional[PolyteResult]
     regions: List[Tuple[str, int, int]] = field(default_factory=list)
     region_results: List[PolyteResult] = field(default_factory=list)
+    # diagnostics: the final pass's reference-coordinate candidate count
+    # (>0 proves the ref-guided path ran, polyte-split.py:389-430)
+    final_ref_candidates: int = 0
 
 
 def detect_regions(alignments, ref_lengths: Dict[str, int], average_read_len: float,
@@ -232,7 +235,12 @@ def run_polyte_split(store: ReadStore, cfg: PolyteSplitConfig) -> PolyteSplitRes
     if len(combined) == 0:
         return result
 
-    # final reference-guided pass over the combined contigs
+    # final REFERENCE-GUIDED pass over the combined contigs
+    # (polyte-split.py:389-430: bwa mem -a on the combined contigs, then
+    # polyte --ref_guided_mode --hap_cov=0 --no_EC with the ORIGINAL reads'
+    # average_read_len/max_tip_len): the initial overlaps are induced from
+    # reference coordinates at m_EC = 2+0.5*avg_len, not from de novo
+    # contig self-overlaps
     final_cfg = replace(
         cfg,
         hap_cov=0.0,
@@ -243,5 +251,10 @@ def run_polyte_split(store: ReadStore, cfg: PolyteSplitConfig) -> PolyteSplitRes
         original_SE_count=-1,
         original_PE_count=-1,
     )
-    result.final = run_polyte(combined, final_cfg, preprocessing=False)
+    from .savage import ref_guided_candidates
+
+    ref_ov = ref_guided_candidates(combined, index, mol_ec)
+    result.final_ref_candidates = int(len(ref_ov))
+    result.final = run_polyte(combined, final_cfg, preprocessing=False,
+                              initial_overlaps=ref_ov)
     return result

@@ -179,6 +179,10 @@ def test_polyte_split_synthetic():
     assert len(res.regions) >= 2  # genome split into multiple windows
     assert res.combined_store is not None and len(res.combined_store) > 0
     assert res.final is not None and res.final.store is not None
+    # the final pass must be REFERENCE-GUIDED: its initial candidates are
+    # induced through reference coordinates (polyte-split.py:389-430), not
+    # de novo contig self-overlaps
+    assert res.final_ref_candidates > 0
     lens = sorted((res.final.store.read_len(i)
                    for i in range(len(res.final.store))), reverse=True)
     assert lens[0] > 500
