@@ -51,6 +51,7 @@ def banded_align(
     mismatch: int = -2,
     gap: int = -3,
     chunk: int = 8192,
+    want_traceback: bool = True,
 ) -> BandedResult:
     """Align reads[t, :read_lens[t]] against windows[t] (width
     read_len + 2*band windows, N/PAD beyond the reference) for every task t.
@@ -58,6 +59,11 @@ def banded_align(
     Global in the read; the alignment may start at any window offset in
     [0, 2*band] and end wherever the read ends (free outer reference
     gaps). Returns per-task score/coordinates/CIGAR.
+
+    want_traceback=False skips the host traceback (the Python-loop cost):
+    score/ref_end stay exact, but ref_start/cigars/nm/matches/aligned_cols
+    come back zeroed — use as a cheap score prefilter, then re-align the
+    survivors with traceback on.
     """
     B = len(reads)
     out_score = np.full(B, NEG, dtype=np.int32)
@@ -70,7 +76,7 @@ def banded_align(
     for lo in range(0, B, chunk):
         hi = min(lo + chunk, B)
         res = _banded_chunk(reads[lo:hi], read_lens[lo:hi], windows[lo:hi],
-                            band, match, mismatch, gap)
+                            band, match, mismatch, gap, want_traceback)
         (out_score[lo:hi], out_start[lo:hi], out_end[lo:hi], cg,
          out_nm[lo:hi], out_match[lo:hi], out_cols[lo:hi]) = res
         cigars[lo:hi] = cg
@@ -78,14 +84,16 @@ def banded_align(
                         out_match, out_cols)
 
 
-def _banded_chunk(reads, read_lens, windows, band, match, mismatch, gap):
+def _banded_chunk(reads, read_lens, windows, band, match, mismatch, gap,
+                  want_traceback: bool = True):
     B, L = reads.shape
     W = 2 * band + 1
     lens = read_lens.astype(np.int64)
 
     # S[d] = best score with read[:i] consumed, ref consumed to j = i + d
     S = np.zeros((B, W), dtype=np.int32)  # row i=0: free leading ref
-    tb = np.zeros((B, L + 1, W), dtype=np.int8)  # 0 diag, 1 ins(read), 2 del(ref)
+    # 0 diag, 1 ins(read), 2 del(ref)
+    tb = np.zeros((B, L + 1, W), dtype=np.int8) if want_traceback else None
     col = np.arange(W, dtype=np.int64)
 
     for i in range(L):
@@ -109,11 +117,17 @@ def _banded_chunk(reads, read_lens, windows, band, match, mismatch, gap):
         # rows beyond the read length hold their previous values
         active = i < lens
         S = np.where(active[:, None], nxt, S)
-        tb[:, i + 1, :] = np.where(active[:, None], moves, 0)
+        if want_traceback:
+            tb[:, i + 1, :] = np.where(active[:, None], moves, 0)
 
     best_d = np.argmax(S, axis=1).astype(np.int64)
     score = S[np.arange(B), best_d]
     ref_end = lens + best_d
+
+    if not want_traceback:
+        z = np.zeros(B, dtype=np.int32)
+        return (score, z, ref_end.astype(np.int32), [""] * B,
+                z.copy(), z.copy(), z.copy())
 
     # host traceback
     starts = np.zeros(B, dtype=np.int32)
