@@ -85,6 +85,21 @@ class SuperreadBuilder:
         self.nodes_to_new_ids: Dict[int, int] = {}
         self.new_read_count = 0
         self.clique_count = 0
+        # (v1, v2) -> first edge id in adjacency order; the graph is static
+        # during superread construction, so one flat build replaces the
+        # per-member get_edge_idx adjacency scans in sort_vertices
+        flat, v_of = graph._flat_adj_out()
+        keys = (v_of * graph.n + graph.edges["v2"][flat].astype(np.int64)).tolist()
+        ids = flat.tolist()
+        # reversed zip => FIRST occurrence wins, matching get_edge_idx
+        self._edge_map: Dict[int, int] = dict(zip(keys[::-1], ids[::-1]))
+
+    def _edge_idx(self, a: int, b: int) -> int:
+        """get_edge_idx(a, b, reverse_allowed=True) via the prebuilt map."""
+        e = self._edge_map.get(a * self.g.n + b)
+        if e is None:
+            e = self._edge_map[b * self.g.n + a]
+        return e
 
     # --------------------------------------------------------------- helpers
     def _oriented_end(self, read_idx: int, end: int, forward: bool):
@@ -139,7 +154,7 @@ class SuperreadBuilder:
         for node in vertices:
             if node == base_node:
                 continue
-            e = g.get_edge_idx(base_node, node, reverse_allowed=True)
+            e = self._edge_idx(base_node, node)
             cur_fwd = bool(g.vertex_orientations[node])
             v1, v2 = int(rows["v1"][e]), int(rows["v2"][e])
             base_is_first = v1 == base_node

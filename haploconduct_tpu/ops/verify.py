@@ -133,11 +133,33 @@ def plan_tasks(store: ReadStore, packed: PackedUnits, ov: np.ndarray) -> Tuple[T
     ori_b = ov["ori2"] == b"+"
     pos1 = ov["pos1"].astype(np.int64)
     pos2 = ov["pos2"].astype(np.int64)
-    ord1 = ov["ord"] == b"1"
-    ord2 = ov["ord"] == b"2"
 
     ua1, ua2 = unit1[ia], unit2[ia]
     ub1, ub2 = unit1[ib], unit2[ib]
+    any_paired = bool(p_a.any() or p_b.any())
+
+    if not any_paired:
+        # all-single fast path (the dominant case after stage-a EC: every
+        # superread is single-end): lead == trail == oriented unit1, no
+        # second task, S-S geometry only
+        row_first = np.where(ori_a, ua1, ua1 + U)
+        row_second = np.where(ori_b, ub1, ub1 + U)
+        pos = pos1
+        t1_of = np.arange(n, dtype=np.int64)
+        t2_of = np.full(n, -1, dtype=np.int64)
+        la1 = ulens[ua1]
+        lb1 = ulens[ub1]
+        pos3 = la1 - pos1 - lb1
+        pos4 = np.zeros(n, dtype=np.int64)
+        ss = np.ones(n, dtype=bool)
+        meta = dict(
+            ia=ia, ib=ib, ss=ss, pos3=pos3, pos4=pos4,
+            ori_a=ori_a, ori_b=ori_b, perc=_perc(ov),
+        )
+        return TaskPlan(row_first, row_second, pos, t1_of, t2_of), meta
+
+    ord1 = ov["ord"] == b"1"
+    ord2 = ov["ord"] == b"2"
 
     def lead_trail(p, o, u1, u2):
         # single: both = oriented unit1; paired: (u1 fwd, u2 fwd) or (u2 rev, u1 rev)
