@@ -17,12 +17,14 @@ through the index arithmetic of constructSuperread
 from __future__ import annotations
 
 import bisect
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..core.reads import N_CODE, ReadStore, revcomp_codes
+from ..native import load_consensus_ext
 from ..graph.overlap_graph import OverlapGraph
 from ..io.subreads import OriginalIndex, SubreadDict
 from ..utils.config import Settings
@@ -343,21 +345,6 @@ class SuperreadBuilder:
         b = np.minimum(m_end, stops_j[m_job])
         w_len = np.where(lm, np.maximum(b - a, 0), 0)
         tot = int(w_len.sum())
-        if tot:
-            seq_cat = np.concatenate(seq_all)
-            qual_cat = np.concatenate(qual_all)
-            seq_start = np.concatenate([[0], np.cumsum(m_len)[:-1]])
-            w_start = np.cumsum(w_len) - w_len
-            rep = np.repeat(np.arange(n_mem_total), w_len)
-            offs = np.arange(tot, dtype=np.int64) - np.repeat(w_start, w_len)
-            src = seq_start[rep] + (a - m_pos)[rep] + offs
-            gpos = job_out[m_job][rep] + (a - m_trim_all)[rep] + offs
-            w = seq_cat[src].astype(np.int64)
-            q = qual_cat[src].astype(np.int64)
-        else:
-            gpos = np.zeros(0, np.int64)
-            w = np.zeros(0, np.int64)
-            q = np.zeros(0, np.int64)
 
         # phred -> log10 likelihood lookup tables (exact same doubles as
         # computing per element; phred 0 => p_err == 1 => log10(0) = -inf,
@@ -368,42 +355,77 @@ class SuperreadBuilder:
             l_match_lut = np.log10(1.0 - p_err_lut)
         l_mis_lut = np.log10(p_err_lut / 3.0)
 
-        valid = w < N_CODE
-        lm = np.where(valid, l_match_lut[np.minimum(q, 93)], 0.0)
-        lx = np.where(valid, l_mis_lut[np.minimum(q, 93)], 0.0)
+        ext = None if os.environ.get("HC_CONSENSUS") == "numpy" \
+            else load_consensus_ext()
+        if ext is not None:
+            # ---- native pass 2: one OpenMP pass per window character, one
+            # per output position (native/consensus.cpp). Jobs own disjoint
+            # output ranges so the per-bin accumulation order equals the
+            # sequential bincount below -> bit-identical results.
+            seq_cat = (np.concatenate(seq_all) if seq_all
+                       else np.zeros(0, np.int8))
+            qual_cat = (np.concatenate(qual_all) if qual_all
+                        else np.zeros(0, np.uint8))
+            seq_start = np.cumsum(m_len) - m_len
+            active = w_len > 0
+            src0 = np.where(active, seq_start + (a - m_pos), 0)
+            dst0 = np.where(active, job_out[m_job] + (a - m_trim_all), 0)
+            codes_all, quals_all, counts = ext.consensus_scatter(
+                seq_cat, qual_cat, src0, dst0, w_len, job_start, W_total,
+                l_match_lut, l_mis_lut, self.s.min_qual, N_CODE, N_QUAL)
+        else:
+            if tot:
+                seq_cat = np.concatenate(seq_all)
+                qual_cat = np.concatenate(qual_all)
+                seq_start = np.concatenate([[0], np.cumsum(m_len)[:-1]])
+                w_start = np.cumsum(w_len) - w_len
+                rep = np.repeat(np.arange(n_mem_total), w_len)
+                offs = np.arange(tot, dtype=np.int64) - np.repeat(w_start, w_len)
+                src = seq_start[rep] + (a - m_pos)[rep] + offs
+                gpos = job_out[m_job][rep] + (a - m_trim_all)[rep] + offs
+                w = seq_cat[src].astype(np.int64)
+                q = qual_cat[src].astype(np.int64)
+            else:
+                gpos = np.zeros(0, np.int64)
+                w = np.zeros(0, np.int64)
+                q = np.zeros(0, np.int64)
 
-        scores = np.empty((W_total, 4), dtype=np.float64)
-        for b_code in range(4):
-            contrib = np.where(w == b_code, lm, lx)
-            scores[:, b_code] = np.bincount(gpos, weights=contrib, minlength=W_total)
-        counts = np.bincount(gpos, minlength=W_total)  # incl. N's (minQual rule)
+            valid = w < N_CODE
+            lm = np.where(valid, l_match_lut[np.minimum(q, 93)], 0.0)
+            lx = np.where(valid, l_mis_lut[np.minimum(q, 93)], 0.0)
 
-        # ---- per-position base call over the whole flat buffer
-        # tie-break priority A, T, C, G (consensus_pos:390-393)
-        prio = np.array([0, 3, 1, 2])  # column order A,T,C,G
-        reordered = scores[:, prio]
-        max_score = reordered.max(axis=1)
-        first_max = np.argmax(reordered == max_score[:, None], axis=1)
-        call = prio[first_max]  # back to code space
+            scores = np.empty((W_total, 4), dtype=np.float64)
+            for b_code in range(4):
+                contrib = np.where(w == b_code, lm, lx)
+                scores[:, b_code] = np.bincount(gpos, weights=contrib, minlength=W_total)
+            counts = np.bincount(gpos, minlength=W_total)  # incl. N's (minQual rule)
 
-        with np.errstate(over="ignore", under="ignore"):
-            probs = np.power(10.0, scores)
-        total_prob = probs.sum(axis=1)
-        max_prob = np.power(10.0, max_score)
-        p_correct = np.where(total_prob > 0, max_prob / np.maximum(total_prob, 1e-320), 0.0)
-        p_incorrect = 1.0 - p_correct
+            # ---- per-position base call over the whole flat buffer
+            # tie-break priority A, T, C, G (consensus_pos:390-393)
+            prio = np.array([0, 3, 1, 2])  # column order A,T,C,G
+            reordered = scores[:, prio]
+            max_score = reordered.max(axis=1)
+            first_max = np.argmax(reordered == max_score[:, None], axis=1)
+            call = prio[first_max]  # back to code space
 
-        n_mask = (max_score == 0) | (total_prob == 0.0)
-        n_mask |= (counts > 1) & (p_correct < self.s.min_qual)
+            with np.errstate(over="ignore", under="ignore"):
+                probs = np.power(10.0, scores)
+            total_prob = probs.sum(axis=1)
+            max_prob = np.power(10.0, max_score)
+            p_correct = np.where(total_prob > 0, max_prob / np.maximum(total_prob, 1e-320), 0.0)
+            p_incorrect = 1.0 - p_correct
 
-        with np.errstate(divide="ignore"):
-            # C round(): half away from zero (values are >= 0 here)
-            phred = np.floor(-10.0 * np.log10(np.maximum(p_incorrect, 1e-320)) + 0.5)
-        phred = np.where(p_incorrect < 10.0 ** (-9.3), 93, phred)
-        phred = np.clip(phred, 0, 93).astype(np.uint8)
+            n_mask = (max_score == 0) | (total_prob == 0.0)
+            n_mask |= (counts > 1) & (p_correct < self.s.min_qual)
 
-        codes_all = np.where(n_mask, N_CODE, call).astype(np.int8)
-        quals_all = np.where(n_mask, N_QUAL, phred).astype(np.uint8)
+            with np.errstate(divide="ignore"):
+                # C round(): half away from zero (values are >= 0 here)
+                phred = np.floor(-10.0 * np.log10(np.maximum(p_incorrect, 1e-320)) + 0.5)
+            phred = np.where(p_incorrect < 10.0 ** (-9.3), 93, phred)
+            phred = np.clip(phred, 0, 93).astype(np.uint8)
+
+            codes_all = np.where(n_mask, N_CODE, call).astype(np.int8)
+            quals_all = np.where(n_mask, N_QUAL, phred).astype(np.uint8)
 
         # ---- split back per job; a position with no active sequence
         # aborts that job's whole consensus

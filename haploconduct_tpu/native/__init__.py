@@ -152,6 +152,54 @@ def load_refsem_ext() -> Optional[_RefsemExt]:
     return _refsem_ext
 
 
+class _ConsensusExt:
+    def __init__(self, module):
+        self._m = module
+
+    def consensus_scatter(self, seq_cat, qual_cat, src0, dst0, wlen,
+                          job_start, w_total, l_match_lut, l_mis_lut,
+                          min_qual, n_code, n_qual):
+        """Pass-2 consensus over flat member windows (see batch_consensus):
+        returns (codes int8, quals uint8, counts int64) of length w_total."""
+        nj = len(job_start) - 1
+        codes_b, quals_b, counts_b = self._m.consensus_scatter(
+            np.ascontiguousarray(seq_cat, dtype=np.int8),
+            np.ascontiguousarray(qual_cat, dtype=np.uint8),
+            np.ascontiguousarray(src0, dtype=np.int64),
+            np.ascontiguousarray(dst0, dtype=np.int64),
+            np.ascontiguousarray(wlen, dtype=np.int64),
+            np.ascontiguousarray(job_start, dtype=np.int64),
+            nj, int(w_total),
+            np.ascontiguousarray(l_match_lut, dtype=np.float64),
+            np.ascontiguousarray(l_mis_lut, dtype=np.float64),
+            float(min_qual), int(n_code), int(n_qual))
+        return (np.frombuffer(codes_b, dtype=np.int8),
+                np.frombuffer(quals_b, dtype=np.uint8),
+                np.frombuffer(counts_b, dtype=np.int64))
+
+
+_consensus_ext: Optional[_ConsensusExt] = None
+_consensus_failed = False
+
+
+def load_consensus_ext() -> Optional[_ConsensusExt]:
+    global _consensus_ext, _consensus_failed
+    if _consensus_ext is not None or _consensus_failed:
+        return _consensus_ext
+    try:
+        import importlib.util
+
+        so_path = _build_ext("consensus", ["consensus.cpp"])
+        spec = importlib.util.spec_from_file_location("_consensus", so_path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        _consensus_ext = _ConsensusExt(module)
+    except Exception:
+        _consensus_failed = True
+        _consensus_ext = None
+    return _consensus_ext
+
+
 _cliques_ext: Optional[_CliquesExt] = None
 _cliques_failed = False
 
