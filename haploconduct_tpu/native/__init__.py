@@ -200,6 +200,62 @@ def load_consensus_ext() -> Optional[_ConsensusExt]:
     return _consensus_ext
 
 
+class _KmerJoinExt:
+    def __init__(self, module):
+        self._m = module
+
+    def join_unique(self, q_sid, q_pos, left, count, t_sid, t_pos, rev):
+        """Expand hash-group ranges into sorted unique packed candidate
+        keys (same packing as ops/kmer._pack_keys)."""
+        keys_b = self._m.join_unique(
+            np.ascontiguousarray(q_sid, dtype=np.int64),
+            np.ascontiguousarray(q_pos, dtype=np.int64),
+            np.ascontiguousarray(left, dtype=np.int64),
+            np.ascontiguousarray(count, dtype=np.int64),
+            len(q_sid),
+            np.ascontiguousarray(t_sid, dtype=np.int64),
+            np.ascontiguousarray(t_pos, dtype=np.int64), int(rev))
+        return np.frombuffer(keys_b, dtype=np.int64)
+
+    def diag_mismatch(self, codes, lens, row_first, row_second, pos,
+                      error_rate):
+        """Per-candidate gapless diagonal (counted, mismatches). Counts may
+        be partial for candidates that provably exceed the error budget
+        (early reject) — the caller's keep mask is unaffected."""
+        n = len(row_first)
+        counted_b, mism_b = self._m.diag_mismatch(
+            np.ascontiguousarray(codes, dtype=np.int8),
+            np.ascontiguousarray(lens, dtype=np.int64),
+            int(codes.shape[1]),
+            np.ascontiguousarray(row_first, dtype=np.int64),
+            np.ascontiguousarray(row_second, dtype=np.int64),
+            np.ascontiguousarray(pos, dtype=np.int64), n, float(error_rate))
+        return (np.frombuffer(counted_b, dtype=np.int64),
+                np.frombuffer(mism_b, dtype=np.int64))
+
+
+_kmerjoin_ext: Optional[_KmerJoinExt] = None
+_kmerjoin_failed = False
+
+
+def load_kmerjoin_ext() -> Optional[_KmerJoinExt]:
+    global _kmerjoin_ext, _kmerjoin_failed
+    if _kmerjoin_ext is not None or _kmerjoin_failed:
+        return _kmerjoin_ext
+    try:
+        import importlib.util
+
+        so_path = _build_ext("kmerjoin", ["kmerjoin.cpp"])
+        spec = importlib.util.spec_from_file_location("_kmerjoin", so_path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        _kmerjoin_ext = _KmerJoinExt(module)
+    except Exception:
+        _kmerjoin_failed = True
+        _kmerjoin_ext = None
+    return _kmerjoin_ext
+
+
 _cliques_ext: Optional[_CliquesExt] = None
 _cliques_failed = False
 

@@ -19,12 +19,14 @@ against repetitive k-mer blowup with `max_group`).
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 from ..core.reads import N_CODE, revcomp_codes
 from ..io.sfo import SFO_DTYPE
+from ..native import load_kmerjoin_ext
 
 
 def _pack_keys(ida, idb, shift, rev):
@@ -147,6 +149,9 @@ def find_overlap_candidates(
 
     assert n < (1 << 19), "too many sequences for packed dedup keys"
 
+    join_ext = None if os.environ.get("HC_KMERJOIN") == "numpy" \
+        else load_kmerjoin_ext()
+
     def join(query_h, query_sid, query_pos, rev: bool):
         """Match query k-mers against the forward table; emit unique
         packed (idA, idB, shift, rev) keys without materializing the
@@ -158,6 +163,14 @@ def find_overlap_candidates(
         counts = np.where(big, 0, counts)
         total = int(counts.sum())
         if total == 0:
+            return
+        if join_ext is not None:
+            # native expansion: one OpenMP pass over the hits + one
+            # parallel sort/unique (native/kmerjoin.cpp), byte-equal to
+            # the numpy np.unique result below
+            pairs.append(join_ext.join_unique(
+                query_sid, query_pos, left, counts, fwd_sid, fwd_pos,
+                int(rev)))
             return
         q_idx = np.repeat(np.arange(len(query_h)), counts)
         csum = np.cumsum(counts)
@@ -271,21 +284,30 @@ def _verify_candidates(seqs, lens, sfo: np.ndarray, error_rate: float) -> np.nda
     row_second = np.where(shift >= 0, row_b, sfo["ida"]).astype(np.int64)
     pos = np.abs(shift)
 
-    counted = np.zeros(len(sfo), dtype=np.int64)
-    mism = np.zeros(len(sfo), dtype=np.int64)
-    col = np.arange(w, dtype=np.int64)[None, :]
-    chunk = 16384
-    for lo in range(0, len(sfo), chunk):
-        hi = min(lo + chunk, len(sfo))
-        a = codes[row_first[lo:hi]]
-        b = codes[row_second[lo:hi]]
-        p = pos[lo:hi, None]
-        idx = np.minimum(p + col, w - 1)
-        a_shift = np.take_along_axis(a, idx, axis=1)
-        L = np.minimum(lens2[row_first[lo:hi]] - pos[lo:hi], lens2[row_second[lo:hi]])
-        cm = (col < L[:, None]) & (a_shift < N_CODE) & (b < N_CODE)
-        counted[lo:hi] = np.count_nonzero(cm, axis=1)
-        mism[lo:hi] = np.count_nonzero(cm & (a_shift != b), axis=1)
+    ext = None if os.environ.get("HC_KMERJOIN") == "numpy" \
+        else load_kmerjoin_ext()
+    if ext is not None:
+        # native per-candidate diagonal scan with early reject; counts may
+        # be partial for candidates already over ceil(error_rate * L) —
+        # mism only grows from there, so the keep mask below is identical
+        counted, mism = ext.diag_mismatch(codes, lens2, row_first,
+                                          row_second, pos, error_rate)
+    else:
+        counted = np.zeros(len(sfo), dtype=np.int64)
+        mism = np.zeros(len(sfo), dtype=np.int64)
+        col = np.arange(w, dtype=np.int64)[None, :]
+        chunk = 16384
+        for lo in range(0, len(sfo), chunk):
+            hi = min(lo + chunk, len(sfo))
+            a = codes[row_first[lo:hi]]
+            b = codes[row_second[lo:hi]]
+            p = pos[lo:hi, None]
+            idx = np.minimum(p + col, w - 1)
+            a_shift = np.take_along_axis(a, idx, axis=1)
+            L = np.minimum(lens2[row_first[lo:hi]] - pos[lo:hi], lens2[row_second[lo:hi]])
+            cm = (col < L[:, None]) & (a_shift < N_CODE) & (b < N_CODE)
+            counted[lo:hi] = np.count_nonzero(cm, axis=1)
+            mism[lo:hi] = np.count_nonzero(cm & (a_shift != b), axis=1)
     allowed = np.ceil(error_rate * np.maximum(counted, 1)).astype(np.int64)
     keep = (counted > 0) & (mism <= allowed)
     return sfo[keep]

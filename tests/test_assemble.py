@@ -235,3 +235,42 @@ def test_cycles_txt_reporting(tmp_path):
     logger.cycles({(5, 4)})
     lines = (tmp_path / "cycles.txt").read_text().splitlines()
     assert lines == ["0\t2", "3\t1", "5\t4"]
+
+
+def test_native_consensus_bit_identical_to_numpy(monkeypatch):
+    """The OpenMP consensus kernel (native/consensus.cpp) must reproduce the
+    numpy scatter path bit for bit: same codes, quals, and trim on random
+    jobs covering N bases, phred 0 (=> -inf log-likelihood), EC trims,
+    support failures, and degenerate aborts (SRBuilder.cpp:297-533)."""
+    from haploconduct_tpu.assemble.superreads import SuperreadBuilder
+    from haploconduct_tpu.native import load_consensus_ext
+    from haploconduct_tpu.utils.config import Settings
+
+    if load_consensus_ext() is None:
+        pytest.skip("native consensus ext unavailable")
+
+    rng = np.random.default_rng(7)
+    jobs = []
+    for _ in range(400):
+        nm = int(rng.integers(2, 12))
+        total = int(rng.integers(30, 220))
+        pos = np.sort(rng.integers(0, max(1, total // 2), nm))
+        pos[0] = 0
+        seqs, quals = [], []
+        for p in pos:
+            length = int(rng.integers(10, total - p + 5))
+            seqs.append(rng.integers(0, 5, length).astype(np.int8))
+            quals.append(rng.integers(0, 94, length).astype(np.uint8))
+        jobs.append((total, list(pos), seqs, quals, bool(rng.integers(0, 2))))
+
+    builder = SuperreadBuilder.__new__(SuperreadBuilder)
+    builder.s = Settings(min_clique_size=2, min_qual=0.99,
+                         error_correction=True)
+    monkeypatch.setenv("HC_CONSENSUS", "numpy")
+    ref = builder.batch_consensus(jobs)
+    monkeypatch.delenv("HC_CONSENSUS")
+    got = builder.batch_consensus(jobs)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        assert r[2] == g[2], i
+        assert np.array_equal(r[0], g[0]), i
+        assert np.array_equal(r[1], g[1]), i

@@ -92,3 +92,39 @@ def test_run_logger(tmp_path):
     assert (tmp_path / "stats.txt").read_text().strip() != ""
     assert (tmp_path / "history.jsonl").exists()
     assert (tmp_path / "graph_trimmed.gfa").exists()
+
+
+def test_native_kmer_join_byte_equal_to_numpy(monkeypatch):
+    """The OpenMP candidate join + diagonal verifier (native/kmerjoin.cpp)
+    must emit a byte-equal SFO array to the numpy sort-join on a noisy
+    two-haplotype workload (incl. reversals, inclusions, N bases)."""
+    import numpy as np
+
+    from haploconduct_tpu.core.reads import encode_seq
+    from haploconduct_tpu.native import load_kmerjoin_ext
+    from haploconduct_tpu.ops.kmer import find_overlap_candidates
+    from haploconduct_tpu.utils.simulate import (mutate_sequence,
+                                                 random_genome,
+                                                 simulate_reads)
+
+    if load_kmerjoin_ext() is None:
+        pytest.skip("native kmerjoin ext unavailable")
+
+    rng = np.random.default_rng(11)
+    genome = random_genome(rng, 1200)
+    haps = [genome, mutate_sequence(genome, rng, sub_rate=0.02)]
+    seqs_s, _ = simulate_reads(haps, coverage=25, read_len=120, rng=rng,
+                               error_rate=0.005)
+    seqs = [encode_seq(s) for s in seqs_s]
+    # sprinkle N's so the N-window and pad paths are exercised
+    for i in range(0, len(seqs), 17):
+        seqs[i][rng.integers(0, len(seqs[i]))] = 4
+
+    monkeypatch.setenv("HC_KMERJOIN", "numpy")
+    ref = find_overlap_candidates(seqs, min_overlap_len=60, k=16,
+                                  error_rate=0.01, verify=True)
+    monkeypatch.delenv("HC_KMERJOIN")
+    got = find_overlap_candidates(seqs, min_overlap_len=60, k=16,
+                                  error_rate=0.01, verify=True)
+    assert len(ref) > 100
+    assert np.array_equal(ref, got)
