@@ -426,18 +426,35 @@ def remove_transitive_edges(g: OverlapGraph) -> None:
 
     to_delete: Set[Tuple[int, int]] = set()
     if s.remove_trans == 1 and s.branch_reduction:
-        # prune branches around each transitive edge (3-clique evidence)
+        # prune branches around each transitive edge (3-clique evidence);
+        # vectorized: concatenate the transitive edges' out/in adjacency
+        # once and mask shorter-overlap neighbours in flat passes (the set
+        # union below is order-insensitive — consumers sort it)
         len0 = rows["len1"].astype(np.int64) + rows["len2"].astype(np.int64)
-        for k in np.flatnonzero(trans):
-            e = alive_idx[k]
-            n1, n2 = int(rows["v1"][e]), int(rows["v2"][e])
-            ovlen = int(len0[e])
-            for e_out in g.adj_out[n1]:
-                if int(len0[e_out]) <= ovlen:
-                    to_delete.add((n1, int(rows["v2"][e_out])))
-            for e_in in g.adj_in[n2]:
-                if int(len0[e_in]) <= ovlen:
-                    to_delete.add((int(rows["v1"][e_in]), n2))
+        t_edges = alive_idx[trans]
+        if len(t_edges):
+            t_n1 = rows["v1"][t_edges].astype(np.int64)
+            t_n2 = rows["v2"][t_edges].astype(np.int64)
+            t_ov = len0[t_edges]
+            for side_nodes, adj, first in ((t_n1, g.adj_out, True),
+                                           (t_n2, g.adj_in, False)):
+                nbr_lists = [adj[int(n)] for n in side_nodes]
+                cnt = np.fromiter((len(l) for l in nbr_lists), np.int64,
+                                  count=len(nbr_lists))
+                if not cnt.sum():
+                    continue
+                flat = np.fromiter(
+                    (e for l in nbr_lists for e in l), np.int64,
+                    count=int(cnt.sum()))
+                ovs = np.repeat(t_ov, cnt)
+                keep = len0[flat] <= ovs
+                if first:
+                    a = np.repeat(side_nodes, cnt)[keep]
+                    b = rows["v2"][flat[keep]].astype(np.int64)
+                else:
+                    a = rows["v1"][flat[keep]].astype(np.int64)
+                    b = np.repeat(side_nodes, cnt)[keep]
+                to_delete.update(zip(a.tolist(), b.tolist()))
 
     g.remove_edge_ids(alive_idx[trans])
     for v, w in sorted(to_delete):

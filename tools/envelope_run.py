@@ -1,0 +1,134 @@
+"""Envelope-scale validation runs (VERDICT r2 task 8).
+
+Two workloads at the reference's documented operating envelopes:
+
+1. SAVAGE ultra-deep patching: total coverage >= 10,000x, split so each
+   patch sees 500 < coverage < 1000 (savage/README.md:313-319, the
+   explicit --split_num guidance; /root/reference/README.md:99). Genome
+   length is the free axis on this 2-vCPU host — per-patch work scales
+   linearly with it at fixed patch coverage, so the envelope's stress
+   (patch coverage, patch count, recombination of patch contigs through
+   stages b/c) is fully exercised on a 1kb two-haplotype genome.
+
+2. polyte-split on a >100kb genome (README.md:99-101: "genomes larger
+   than 100kb"), 15x per haplotype (polyte/README.md:77-78's optimal
+   range), windowed into 10kb regions.
+
+Usage: python tools/envelope_run.py [savage|polyte|both]
+Prints one JSON line per workload; results are recorded in BASELINE.md.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from haploconduct_tpu.core.reads import ReadStore
+from haploconduct_tpu.utils.simulate import (mutate_sequence, random_genome,
+                                             simulate_reads)
+
+
+def make_store(seqs, quals):
+    store = ReadStore()
+    for i, (sq, q) in enumerate(zip(seqs, quals)):
+        store.add_single(i, sq, q)
+    store.readcount_single = len(seqs)
+    return store
+
+
+def savage_envelope(genome_len=1000, total_cov=10000, split_num=15,
+                    read_len=150):
+    from haploconduct_tpu.workflows.savage import SavageConfig, run_savage
+
+    rng = np.random.default_rng(0)
+    genome = random_genome(rng, genome_len)
+    hap2 = mutate_sequence(genome, rng, sub_rate=0.01)
+    per_hap = total_cov / 2
+    seqs, quals = simulate_reads([genome, hap2], coverage=per_hap,
+                                 read_len=read_len, rng=rng,
+                                 error_rate=0.002)
+    store = make_store(seqs, quals)
+    cov_per_patch = total_cov / split_num
+    assert 500 < cov_per_patch < 1000, cov_per_patch
+    print(f"[savage] {len(store)} reads = {total_cov}x total, "
+          f"{split_num} patches @ {cov_per_patch:.0f}x", file=sys.stderr)
+
+    t0 = time.time()
+    cfg = SavageConfig(split_num=split_num, backend="native",
+                       min_clique_size=4)
+    res = run_savage(store, cfg)
+    wall = time.time() - t0
+    ids_c, contigs_c = res.contigs("c")
+    out = {
+        "metric": "savage 10000x-coverage patched end-to-end",
+        "genome_len": genome_len,
+        "n_reads": len(store),
+        "total_coverage": total_cov,
+        "split_num": split_num,
+        "coverage_per_patch": cov_per_patch,
+        "wall_s": round(wall, 1),
+        "stage_a_contigs": len(res.combined_store) if res.combined_store else 0,
+        "stage_c_contigs": len(contigs_c),
+        "longest_contig": max((len(c) for c in contigs_c), default=0),
+        "unit": "s",
+    }
+    print(json.dumps(out))
+    return out
+
+
+def polyte_envelope(genome_len=120000, hap_cov=15, read_len=250):
+    import tempfile
+
+    from haploconduct_tpu.workflows.polyte_split import (PolyteSplitConfig,
+                                                         run_polyte_split)
+
+    rng = np.random.default_rng(1)
+    genome = random_genome(rng, genome_len)
+    hap2 = mutate_sequence(genome, rng, sub_rate=0.005)
+    seqs, quals = simulate_reads([genome, hap2], coverage=hap_cov,
+                                 read_len=read_len, rng=rng, error_rate=0.0)
+    store = make_store(seqs, quals)
+    print(f"[polyte-split] {len(store)} reads over {genome_len/1000:.0f}kb, "
+          f"{hap_cov}x per hap", file=sys.stderr)
+
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as td:
+        ref_path = os.path.join(td, "ref.fasta")
+        with open(ref_path, "w") as f:
+            f.write(f">chr\n{genome}\n")
+        cfg = PolyteSplitConfig(
+            hap_cov=hap_cov, insert_size=read_len, stddev=25,
+            reference=ref_path, split_size=10000, split_overlap=1000,
+            backend="native", min_overlap_len=100,
+            min_overlap_len_EC=2 + read_len // 2)
+        res = run_polyte_split(store, cfg)
+    wall = time.time() - t0
+    final = res.final.store
+    lens = sorted((final.read_len(i) for i in range(len(final))),
+                  reverse=True)
+    out = {
+        "metric": "polyte-split >100kb genome end-to-end",
+        "genome_len": genome_len,
+        "n_reads": len(store),
+        "hap_cov": hap_cov,
+        "n_regions": len(res.regions),
+        "wall_s": round(wall, 1),
+        "final_contigs": len(final),
+        "longest_contig": lens[0] if lens else 0,
+        "sum_final_bp": int(sum(lens)),
+        "final_ref_candidates": res.final_ref_candidates,
+        "unit": "s",
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which in ("savage", "both"):
+        savage_envelope()
+    if which in ("polyte", "both"):
+        polyte_envelope()
