@@ -359,7 +359,44 @@ class FNO1:
                             count=len(lists))
         starts = np.cumsum(sizes) - sizes
         tri_cache = {}
-        i_parts, j_parts = [], []
+
+        def process_chunk(i_parts, j_parts):
+            i_idx = np.concatenate(i_parts)
+            j_idx = np.concatenate(j_parts)
+            e1, e2 = arr[i_idx], arr[j_idx]
+            case1 = (e1["v1"] != e2["v1"]) & (e1["v1"] == e2["v2"])
+            case2 = (e1["v1"] != e2["v1"]) & ~case1 & (e1["v2"] == e2["v1"])
+            n1 = np.where(case1, e2["v1"], e1["v1"]).astype(np.int64)
+            n2 = np.where(case1, e1["v2"], e2["v2"]).astype(np.int64)
+            okm = (case1 | case2) & ~paired[n1] & ~paired[n2]
+            idxs = np.flatnonzero(okm)
+            if len(idxs) == 0:
+                return
+            pos1 = np.where(case1, e2["pos1"], e1["pos1"]).astype(np.int64)
+            ori1 = np.where(case1, e2["ori1"], e1["ori1"])
+            ori2 = np.where(case1, e1["ori2"], e2["ori2"])
+            l1 = read_lens[n1[idxs]]
+            l2 = read_lens[n2[idxs]]
+            length = np.minimum(l1 - pos1[idxs], l2)
+            perc = (100 * length) // np.minimum(l1, l2)
+            for k, kk in enumerate(idxs):
+                a, b = int(n1[kk]), int(n2[kk])
+                if (a, b) in pair_set or (b, a) in pair_set:
+                    continue
+                erow = np.zeros(1, dtype=rows_dtype())[0]
+                erow["v1"], erow["v2"] = a, b
+                erow["score"] = s.edge_threshold
+                erow["pos1"], erow["pos2"] = int(pos1[kk]), 0
+                erow["ori1"], erow["ori2"] = bool(ori1[kk]), bool(ori2[kk])
+                erow["ord"] = b"-"
+                erow["perc"] = int(perc[k])
+                erow["len1"], erow["len2"] = int(length[k]), 0
+                self._update_overlap(erow)
+
+        # bounded chunks: peak memory is O(PAIR_CAP), not O(sum ln^2); chunks
+        # are processed in list order so the emit order is unchanged
+        PAIR_CAP = 4_000_000
+        i_parts, j_parts, pending = [], [], 0
         for st, ln in zip(starts, sizes):
             cached = tri_cache.get(int(ln))
             if cached is None:
@@ -367,37 +404,12 @@ class FNO1:
                 tri_cache[int(ln)] = cached
             i_parts.append(cached[0] + st)
             j_parts.append(cached[1] + st)
-        i_idx = np.concatenate(i_parts)
-        j_idx = np.concatenate(j_parts)
-        e1, e2 = arr[i_idx], arr[j_idx]
-        case1 = (e1["v1"] != e2["v1"]) & (e1["v1"] == e2["v2"])
-        case2 = (e1["v1"] != e2["v1"]) & ~case1 & (e1["v2"] == e2["v1"])
-        n1 = np.where(case1, e2["v1"], e1["v1"]).astype(np.int64)
-        n2 = np.where(case1, e1["v2"], e2["v2"]).astype(np.int64)
-        okm = (case1 | case2) & ~paired[n1] & ~paired[n2]
-        idxs = np.flatnonzero(okm)
-        if len(idxs) == 0:
-            return
-        pos1 = np.where(case1, e2["pos1"], e1["pos1"]).astype(np.int64)
-        ori1 = np.where(case1, e2["ori1"], e1["ori1"])
-        ori2 = np.where(case1, e1["ori2"], e2["ori2"])
-        l1 = read_lens[n1[idxs]]
-        l2 = read_lens[n2[idxs]]
-        length = np.minimum(l1 - pos1[idxs], l2)
-        perc = (100 * length) // np.minimum(l1, l2)
-        for k, kk in enumerate(idxs):
-            a, b = int(n1[kk]), int(n2[kk])
-            if (a, b) in pair_set or (b, a) in pair_set:
-                continue
-            erow = np.zeros(1, dtype=rows_dtype())[0]
-            erow["v1"], erow["v2"] = a, b
-            erow["score"] = s.edge_threshold
-            erow["pos1"], erow["pos2"] = int(pos1[kk]), 0
-            erow["ori1"], erow["ori2"] = bool(ori1[kk]), bool(ori2[kk])
-            erow["ord"] = b"-"
-            erow["perc"] = int(perc[k])
-            erow["len1"], erow["len2"] = int(length[k]), 0
-            self._update_overlap(erow)
+            pending += len(cached[0])
+            if pending >= PAIR_CAP:
+                process_chunk(i_parts, j_parts)
+                i_parts, j_parts, pending = [], [], 0
+        if pending:
+            process_chunk(i_parts, j_parts)
 
 
 def rows_dtype():

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 import subprocess
 import sysconfig
+import tempfile
 from typing import Optional
 
 import numpy as np
@@ -25,11 +26,22 @@ def _build_ext(name: str, sources) -> str:
     ):
         return so_path
     include = sysconfig.get_paths()["include"]
+    # Compile to a temp file and os.replace() into place so concurrent
+    # builders (parallel test workers, region pools) never dlopen a
+    # half-written .so; replace is atomic within one filesystem.
+    fd, tmp_path = tempfile.mkstemp(suffix=".so", prefix=f"_{name}_",
+                                    dir=_DIR)
+    os.close(fd)
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fopenmp", f"-I{include}", *src_paths, "-o", so_path,
+        "-fopenmp", f"-I{include}", *src_paths, "-o", tmp_path,
     ]
-    subprocess.check_call(cmd)
+    try:
+        subprocess.check_call(cmd)
+        os.replace(tmp_path, so_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
     return so_path
 
 

@@ -129,6 +129,13 @@ static PyObject* py_consensus_scatter(PyObject*, PyObject* args) {
     PyObject* quals_b = PyBytes_FromStringAndSize(nullptr, W * sizeof(uint8_t));
     PyObject* counts_b =
         PyBytes_FromStringAndSize(nullptr, W * sizeof(int64_t));
+    if (!codes_b || !quals_b || !counts_b) {
+        for (int i = 0; i < 8; i++) PyBuffer_Release(&bufs[i]);
+        Py_XDECREF(codes_b);
+        Py_XDECREF(quals_b);
+        Py_XDECREF(counts_b);
+        return nullptr;  // exception already set by the failed allocation
+    }
     int rc = 0;
     Py_BEGIN_ALLOW_THREADS
     rc = consensus_scatter(

@@ -158,6 +158,12 @@ static PyObject* py_diag_mismatch(PyObject*, PyObject* args) {
     PyObject* counted_b =
         PyBytes_FromStringAndSize(nullptr, n * sizeof(int64_t));
     PyObject* mism_b = PyBytes_FromStringAndSize(nullptr, n * sizeof(int64_t));
+    if (!counted_b || !mism_b) {
+        for (int i = 0; i < 5; i++) PyBuffer_Release(&bufs[i]);
+        Py_XDECREF(counted_b);
+        Py_XDECREF(mism_b);
+        return nullptr;  // exception already set by the failed allocation
+    }
     Py_BEGIN_ALLOW_THREADS
     diag_mismatch((const int8_t*)bufs[0].buf, (const int64_t*)bufs[1].buf,
                   width, (const int64_t*)bufs[2].buf,
