@@ -94,6 +94,30 @@ def test_ref_order_cliques_isolated_vertices_are_singletons():
     assert ref == [[1, 0], [2], [3]]
 
 
+def test_ref_order_canary_fixture():
+    """Recorded-fixture canary (VERDICT r3 task 8): pins the reference qc
+    binary's exact clique EMISSION ORDER (degeneracy BK,
+    quick-cliques/src/DegeneracyAlgorithm.cpp) for 8 random graphs spanning
+    sparse/dense/empty regimes, so `enumerate_cliques_ref` is guarded in the
+    default suite without needing the binary. Regenerate with the recipe in
+    tests/fixtures/README if the fixture ever needs updating."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "qc_clique_order_canary.json")
+    with open(path) as f:
+        cases = json.load(f)
+    assert len(cases) >= 8
+    for name, rec in cases.items():
+        u = np.asarray(rec["u"], np.int64)
+        v = np.asarray(rec["v"], np.int64)
+        got = enumerate_cliques_ref(rec["n"], u, v)
+        assert got == rec["cliques"], (
+            f"clique emission order drifted from the reference qc binary "
+            f"(case {name}); reference_order parity mode is broken")
+
+
 def test_ref_order_matches_qc_binary_when_available():
     import os
     import subprocess
