@@ -216,9 +216,12 @@ class _KmerJoinExt:
     def __init__(self, module):
         self._m = module
 
-    def join_unique(self, q_sid, q_pos, left, count, t_sid, t_pos, rev):
+    def join_unique(self, q_sid, q_pos, left, count, t_sid, t_pos, rev,
+                    lens, min_ov=0):
         """Expand hash-group ranges into sorted unique packed candidate
-        keys (same packing as ops/kmer._pack_keys)."""
+        keys (same packing as ops/kmer._pack_keys). With min_ov > 0,
+        candidates below that overlap length in the query frame are
+        dropped at emission (the caller's post-unpack filter, hoisted)."""
         keys_b = self._m.join_unique(
             np.ascontiguousarray(q_sid, dtype=np.int64),
             np.ascontiguousarray(q_pos, dtype=np.int64),
@@ -226,8 +229,18 @@ class _KmerJoinExt:
             np.ascontiguousarray(count, dtype=np.int64),
             len(q_sid),
             np.ascontiguousarray(t_sid, dtype=np.int64),
-            np.ascontiguousarray(t_pos, dtype=np.int64), int(rev))
+            np.ascontiguousarray(t_pos, dtype=np.int64), int(rev),
+            np.ascontiguousarray(lens, dtype=np.int64), int(min_ov))
         return np.frombuffer(keys_b, dtype=np.int64)
+
+    def canonicalize_keys(self, keys, lens, drop_inclusions=False):
+        """Map unique query-frame candidate keys to the sorted unique
+        canonical (idA < idB) key set (ops/kmer.py swap algebra)."""
+        out_b = self._m.canonicalize_keys(
+            np.ascontiguousarray(keys, dtype=np.int64), len(keys),
+            np.ascontiguousarray(lens, dtype=np.int64),
+            int(bool(drop_inclusions)))
+        return np.frombuffer(out_b, dtype=np.int64)
 
     def diag_mismatch(self, codes, lens, row_first, row_second, pos,
                       error_rate):

@@ -141,9 +141,12 @@ def find_overlap_candidates(
     if subsample is None:
         subsample = auto_subsample(min_overlap_len, k, error_rate)
 
-    fwd_h, fwd_sid, fwd_pos = _kmer_table(seqs, lens, k, seed_step, subsample)
-    order = np.argsort(fwd_h, kind="stable")
-    fwd_h, fwd_sid, fwd_pos = fwd_h[order], fwd_sid[order], fwd_pos[order]
+    # query side stays in sid-major order (the table enumerates reads in
+    # order): the native join exploits this to emit per-read sorted-unique
+    # runs without a global sort over the coverage-quadratic hit count
+    q_h, q_sid, q_pos = _kmer_table(seqs, lens, k, seed_step, subsample)
+    order = np.argsort(q_h, kind="stable")
+    fwd_h, fwd_sid, fwd_pos = q_h[order], q_sid[order], q_pos[order]
 
     pairs = []  # packed int64 keys: 19b idA | 19b idB | 24b shift(+2^23) | 1b rev
 
@@ -165,12 +168,14 @@ def find_overlap_candidates(
         if total == 0:
             return
         if join_ext is not None:
-            # native expansion: one OpenMP pass over the hits + one
-            # parallel sort/unique (native/kmerjoin.cpp), byte-equal to
-            # the numpy np.unique result below
+            # native expansion: per-read sorted-unique runs over a
+            # sid-major query stream (native/kmerjoin.cpp) with the
+            # min_overlap_len filter applied at emission; the surviving
+            # key set is byte-equal to the numpy join + post-unpack
+            # filter below
             pairs.append(join_ext.join_unique(
                 query_sid, query_pos, left, counts, fwd_sid, fwd_pos,
-                int(rev)))
+                int(rev), lens, min_overlap_len))
             return
         q_idx = np.repeat(np.arange(len(query_h)), counts)
         csum = np.cumsum(counts)
@@ -184,7 +189,7 @@ def find_overlap_candidates(
         shift = qp[keep] - tp[keep]
         pairs.append(np.unique(_pack_keys(qa, tb, shift, int(rev))))
 
-    join(fwd_h, fwd_sid, fwd_pos, rev=False)
+    join(q_h, q_sid, q_pos, rev=False)
     if with_reversals:
         rc_seqs = [revcomp_codes(sq) for sq in seqs]
         rc_h, rc_sid, rc_pos = _kmer_table(rc_seqs, lens, k, 1, subsample)
@@ -192,49 +197,62 @@ def find_overlap_candidates(
 
     if not pairs:
         return np.zeros(0, dtype=SFO_DTYPE)
-    key = np.unique(np.concatenate(pairs))
-    # unpack: 19b idA | 19b idB | 24b shift(+2^23) | 1b rev
-    rev = (key & 1).astype(bool)
-    shift = ((key >> 1) & ((1 << 24) - 1)) - (1 << 23)
-    tb = (key >> 25) & ((1 << 19) - 1)
-    qa = key >> 44
-    la = lens[qa]  # length of the (possibly reversed) query = len of A
-    lb = lens[tb]
+    # each join's key array is already unique, and the fwd/rev sets are
+    # disjoint (rev bit differs) — plain concatenation IS the unique set;
+    # downstream dedup-after-canonicalization re-sorts anyway
+    key = np.concatenate(pairs)
+    if join_ext is not None:
+        # native canonicalization: min_ov already filtered at emission,
+        # frame mapping + idA<idB swap + final sorted-unique in one native
+        # pass (the ~20-pass numpy chain below is memory-bound at scale)
+        ckey = join_ext.canonicalize_keys(key, lens,
+                                          drop_inclusions=not with_inclusions)
+        rev = (ckey & 1).astype(bool)
+        shift = ((ckey >> 1) & ((1 << 24) - 1)) - (1 << 23)
+        idb = (ckey >> 25) & ((1 << 19) - 1)
+        ida = ckey >> 44
+    else:
+        # unpack: 19b idA | 19b idB | 24b shift(+2^23) | 1b rev
+        rev = (key & 1).astype(bool)
+        shift = ((key >> 1) & ((1 << 24) - 1)) - (1 << 23)
+        tb = (key >> 25) & ((1 << 19) - 1)
+        qa = key >> 44
+        la = lens[qa]  # length of the (possibly reversed) query = len of A
+        lb = lens[tb]
 
-    # overlap on the query frame: A covers [0, la), B covers [shift, shift+lb)
-    start = np.maximum(0, shift)
-    end = np.minimum(la, shift + lb)
-    ov = end - start
-    ok = ov >= min_overlap_len
-    if not with_inclusions:
-        contained = ((shift <= 0) & (shift + lb >= la)) | ((shift >= 0) & (shift + lb <= la))
-        ok &= ~contained
-    qa, tb, shift, rev, la, lb, ov = (x[ok] for x in (qa, tb, shift, rev, la, lb, ov))
+        # overlap on the query frame: A covers [0, la), B covers
+        # [shift, shift+lb)
+        start = np.maximum(0, shift)
+        end = np.minimum(la, shift + lb)
+        ov = end - start
+        ok = ov >= min_overlap_len
+        if not with_inclusions:
+            contained = (((shift <= 0) & (shift + lb >= la))
+                         | ((shift >= 0) & (shift + lb <= la)))
+            ok &= ~contained
+        qa, tb, shift, rev = (x[ok] for x in (qa, tb, shift, rev))
+        la, lb = la[ok], lb[ok]
 
-    # canonicalize to idA < idB in the A-frame; for rev hits the query was
-    # revcomp(A), so map the diagonal back to A's forward frame:
-    # revcomp(A)[p] pairs with A[la-1-p] => B (forward) aligned to
-    # revcomp(A) at `shift` corresponds to revcomp(B) aligned to forward A
-    # at shift' = la - (shift + lb)
-    shift = np.where(rev, la - (shift + lb), shift)
+        # canonicalize to idA < idB in the A-frame; for rev hits the query
+        # was revcomp(A), so map the diagonal back to A's forward frame:
+        # revcomp(A)[p] pairs with A[la-1-p] => B (forward) aligned to
+        # revcomp(A) at `shift` corresponds to revcomp(B) aligned to
+        # forward A at shift' = la - (shift + lb)
+        shift = np.where(rev, la - (shift + lb), shift)
 
-    swap = qa > tb
-    ida = np.where(swap, tb, qa)
-    idb = np.where(swap, qa, tb)
-    # when swapping on a same-strand hit, the diagonal negates; on a
-    # reversed hit the roles are symmetric under reversal: B aligned at
-    # `shift` in A's frame <=> A aligned at the mirrored shift in B's frame
-    sh_swapped_n = -shift
-    sh_swapped_i = lb - (la - shift) + (la - la)  # = shift + lb - la
-    shift = np.where(swap, np.where(rev, shift + lb - la, sh_swapped_n), shift)
-    la2 = np.where(swap, lb, la)
-    lb2 = np.where(swap, la, lb)
-    la, lb = la2, lb2
+        swap = qa > tb
+        ida = np.where(swap, tb, qa)
+        idb = np.where(swap, qa, tb)
+        # when swapping on a same-strand hit, the diagonal negates; on a
+        # reversed hit the roles are symmetric under reversal: B aligned
+        # at `shift` in A's frame <=> A aligned at the mirrored shift in
+        # B's frame
+        shift = np.where(swap, np.where(rev, shift + lb - la, -shift), shift)
 
-    # dedup again after canonicalization
-    key = _pack_keys(ida, idb, shift, rev.astype(np.int64))
-    order = np.unique(key, return_index=True)[1]
-    ida, idb, shift, rev = ida[order], idb[order], shift[order], rev[order]
+        # dedup again after canonicalization
+        key = _pack_keys(ida, idb, shift, rev.astype(np.int64))
+        order = np.unique(key, return_index=True)[1]
+        ida, idb, shift, rev = ida[order], idb[order], shift[order], rev[order]
     la, lb = lens[ida], lens[idb]
 
     # SFO fields: OHA = A bases before overlap (signed: negative if B
