@@ -209,6 +209,55 @@ def sfo_to_overlaps(sfo: np.ndarray, num_singles: int, num_pairs: int) -> np.nda
     c_olb = np.where(flip, ola, olb)
     cols = (c_na, c_nb, c_sa, c_sb, rev.astype(np.int64), c_oha, c_ohb,
             c_ola, c_olb, kcol)
+
+    if num_pairs == 0:
+        # SE fast path: for single-end input the reference's sort keys
+        # reduce to (na, nb, rev, oha) — sa/sb duplicate na/nb and the
+        # remaining fields (ohb, ola, olb, k) are functions of
+        # (na, nb, rev, oha) for engine-generated SFO. One packed int64
+        # argsort replaces the 10-column lexsort; ties (possible only for
+        # external SFO files with redundant rows) fall through to the
+        # general path.
+        pk = ((c_na << 44) | (c_nb << 25) | (rev.astype(np.int64) << 24)
+              | (c_oha + (1 << 23)))
+        order_fast = np.argsort(pk, kind="stable")
+        spk = pk[order_fast]
+        if len(spk) < 2 or not (spk[1:] == spk[:-1]).any():
+            not_self = c_na[order_fast] != c_nb[order_fast]
+            idx = order_fast[not_self]
+            v_na, v_nb = c_na[idx], c_nb[idx]
+            v_rev = rev[idx]
+            v_oha, v_ohb = c_oha[idx], c_ohb[idx]
+            v_ola, v_olb = c_ola[idx], c_olb[idx]
+            ss_out = empty_overlaps(len(idx))
+            ovlen = np.minimum(v_ola, v_olb)
+            a_first = v_oha >= 0
+            neg_ohb = np.where(v_ohb >= 0, 0, -v_ohb)
+            pos_ohb = np.where(v_ohb >= 0, v_ohb, 0)
+            readlen_a = np.where(a_first, v_ola + v_oha + neg_ohb,
+                                 v_ola + neg_ohb)
+            readlen_b = np.where(a_first, v_olb + pos_ohb,
+                                 -v_oha + v_olb + pos_ohb)
+            minreadlen = np.minimum(readlen_a, readlen_b)
+            assert (minreadlen > 0).all()
+            perc = np.minimum(
+                np.floor(100.0 * ovlen / minreadlen + 0.5).astype(np.int64),
+                100)
+            ss_out["id1"] = np.where(a_first, v_na, v_nb)
+            ss_out["id2"] = np.where(a_first, v_nb, v_na)
+            ss_out["pos1"] = np.where(a_first, v_oha, -v_oha)
+            ss_out["ord"] = b"-"
+            ori_ab = np.where(v_rev, b"-", b"+")
+            ss_out["ori1"] = np.where(a_first, b"+", ori_ab)
+            ss_out["ori2"] = np.where(a_first, ori_ab, b"+")
+            ss_out["perc1"] = perc
+            ss_out["len1"] = ovlen
+            ss_out["type1"] = b"s"
+            ss_out["type2"] = b"s"
+            # rows with distinct keys are provably distinct 13-col lines,
+            # so the final `uniq` pass is a no-op here
+            return ss_out
+
     # sort -k1,1n -k2,2n -k3,3n -k4,4n | uniq (full-field refinement for a
     # deterministic tie order) + consecutive dedup
     order = np.lexsort(cols[::-1])
