@@ -163,9 +163,20 @@ class ReadStore:
         if getattr(self, "_ids_cache_n", -1) != cur:
             keys = np.array(self.ids, dtype=np.int64)
             order = np.argsort(keys, kind="stable")
-            self._ids_cache = (keys[order], order)
+            # identity flag lets lookups skip the searchsorted entirely
+            # (ids are 0..n-1 in every internally-built store)
+            identity = bool(keys.size == 0 or
+                            (keys[order][0] == 0 and keys[order][-1] == cur - 1
+                             and len(np.unique(keys)) == cur
+                             and (keys == np.arange(cur)).all()))
+            self._ids_cache = (keys[order], order, identity)
             self._ids_cache_n = cur
-        return self._ids_cache
+        return self._ids_cache[:2]
+
+    def ids_identity(self) -> bool:
+        """True when read ids are exactly 0..n-1 in order (id == index)."""
+        self.ids_index()
+        return self._ids_cache[2]
 
     def __len__(self) -> int:
         return len(self.ids)

@@ -104,13 +104,23 @@ def length_prefilter(ov: np.ndarray, s: Settings) -> Tuple[np.ndarray, np.ndarra
 
 
 def _perc(ov: np.ndarray) -> np.ndarray:
-    avg = (0.5 * (ov["perc1"].astype(np.float64) + ov["perc2"].astype(np.float64))).astype(np.int64)
-    return np.where(ov["perc2"] > 0, avg, ov["perc1"].astype(np.int64))
+    # int(0.5*(p1+p2)) == (p1+p2)//2 for the non-negative percent fields;
+    # integer form avoids two float64 conversion passes over the stream
+    p1 = ov["perc1"].astype(np.int64)
+    p2 = ov["perc2"].astype(np.int64)
+    return np.where(p2 > 0, (p1 + p2) >> 1, p1)
 
 
 def _id_lookup(store: ReadStore, ids: np.ndarray) -> np.ndarray:
+    ids = ids.astype(np.int64)
+    if store.ids_identity():
+        # internally-built stores have id == index: one bounds check
+        if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= len(store.ids)):
+            bad = ids[(ids < 0) | (ids >= len(store.ids))]
+            raise KeyError(f"overlap references unknown read IDs, e.g. {bad[:5]}")
+        return ids
     sorted_keys, order = store.ids_index()
-    pos = np.searchsorted(sorted_keys, ids.astype(np.int64))
+    pos = np.searchsorted(sorted_keys, ids)
     if np.any(pos >= len(sorted_keys)) or np.any(sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] != ids):
         missing = ids[(pos >= len(sorted_keys)) | (sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] != ids)]
         raise KeyError(f"overlap references unknown read IDs, e.g. {missing[:5]}")
