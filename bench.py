@@ -198,19 +198,10 @@ def bench_mesh(virtual: int = 0):
 
     if virtual:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-
-    from haploconduct_tpu.ops.pallas_score import (CHUNK, TB, pack_for_pallas,
-                                                   segment_tasks)
-    from haploconduct_tpu.parallel.mesh import (_make_global,
-                                                _sharded_segment_fn, make_mesh)
+    from haploconduct_tpu.parallel.mesh import make_mesh, sharded_score_tasks
 
     n_tasks = int(os.environ.get("BENCH_TASKS", 65536))
     packed, lens, row_a, row_b, pos = build_workload(n_tasks)
-    combined = pack_for_pallas(packed.codes, packed.quals)
-    L = np.minimum(lens[row_a].astype(np.int64) - pos, lens[row_b]).astype(np.int64)
-    s_rowa, s_rowb, s_posa, s_bolen, _ = segment_tasks(
-        row_a.astype(np.int64), row_b.astype(np.int64), pos.astype(np.int64), L)
 
     n_avail = len(jax.devices())
     counts = [c for c in (1, 2, 4, 8, 16) if c <= n_avail]
@@ -218,37 +209,14 @@ def bench_mesh(virtual: int = 0):
     rates = {}
     for n_dev in counts:
         mesh = make_mesh(n_dev)
-        fn = _sharded_segment_fn(0.0)(mesh)
-        # per-device scalar-prefetch slices must stay within the Pallas
-        # SMEM budget: dispatch the stream in CHUNK-per-device slices, all
-        # chunks in flight before the blocking fetch (same dispatch pattern
-        # as parallel/mesh.py:sharded_score_tasks)
-        step = n_dev * CHUNK
-        n_sub = len(s_rowa)
-        pad_full = (-n_sub) % (n_dev * TB)
-        total = n_sub + pad_full
-        comb_d = _make_global(mesh, combined, replicated=True)
-        chunks = []
-        for start in range(0, total, step):
-            end = min(start + step, total)
-            cols = []
-            for c in (s_rowa, s_rowb, s_posa, s_bolen):
-                arr = c[start:min(end, n_sub)]
-                if end - start - len(arr):
-                    arr = np.concatenate(
-                        [arr, np.zeros(end - start - len(arr), np.int32)])
-                cols.append(_make_global(mesh, arr))
-            chunks.append(cols)
 
         def run_all():
-            acc = 0.0
-            for cols in chunks:
-                outs = fn(comb_d, *cols)
-                # scalar checksum fetch: float() blocks until the kernel
-                # actually completed (block_until_ready alone can return on
-                # dispatch acknowledgement through the remote-TPU tunnel)
-                acc += float(jnp.sum(outs[1]))
-            return acc
+            # the PRODUCTION host-synchronous path end to end: segment on
+            # host, one batched transfer per column, one scanned dispatch
+            # over the mesh, one fetch per output, host segment->task
+            # reduction (parallel/mesh.py:sharded_score_tasks)
+            return sharded_score_tasks(packed.codes, packed.quals, lens,
+                                       row_a, row_b, pos, mesh=mesh)
 
         run_all()  # compile + warmup
         best = float("inf")
@@ -269,7 +237,7 @@ def bench_mesh(virtual: int = 0):
         "per_device_count": {str(k): round(v) for k, v in rates.items()},
         "platform": jax.devices()[0].platform,
         "host_cores": os.cpu_count(),
-        "n_subtasks": int(len(s_rowa)),
+        "n_tasks": n_tasks,
     }
     if out["platform"] in ("tpu", "axon"):
         # the dispatch-level rates above are host-round-trip bound on the

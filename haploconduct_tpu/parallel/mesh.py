@@ -108,6 +108,62 @@ def _sharded_segment_fn(mismatch_thresh: float, axis: str = "data"):
     return build
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_scan_fn(mismatch_thresh: float, axis: str = "data"):
+    """One-dispatch sharded scorer over a (n_chunks, n_dev*CHUNK) subtask
+    stream: dim 1 is sharded across the mesh, and each device lax.scans
+    the Pallas kernel over its (n_chunks, CHUNK) slice ON DEVICE. Replaces
+    the per-chunk dispatch loop, whose 4 host->device transfers + 1
+    round-trip per 32k subtasks dominated host-synchronous throughput
+    (VERDICT r3 task 4; reference anchor: the OpenMP chunk loop,
+    src/EdgeCalculator.cpp:395-423)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
+    if on_tpu:
+        from ..ops.pallas_score import _build_kernel
+
+        kern = _build_kernel(mismatch_thresh, True)
+    else:
+        kern = _xla_segment_body(mismatch_thresh)
+
+    def body(comb, ra, rb, pa, bl):
+        def step(_, xs):
+            ra_c, rb_c, pa_c, bl_c = xs
+            return 0, kern(comb, ra_c, rb_c, pa_c, bl_c)
+
+        import jax as _jax
+
+        _, outs = _jax.lax.scan(step, 0, (ra, rb, pa, bl))
+        return outs
+
+    def build(mesh):
+        specs = P(None, axis)
+        try:
+            smapped = shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), specs, specs, specs, specs),
+                out_specs=(specs, specs, specs, specs),
+                check_vma=False,
+            )
+        except TypeError:
+            smapped = shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), specs, specs, specs, specs),
+                out_specs=(specs, specs, specs, specs),
+                check_rep=False,
+            )
+        return jax.jit(smapped)
+
+    return build
+
+
 def sharded_score_tasks(
     codes: np.ndarray,
     quals: np.ndarray,
@@ -150,51 +206,53 @@ def sharded_score_tasks(
     s_rowa, s_rowb, s_posa, s_bolen, bounds = segment_tasks(
         row_a.astype(np.int64), row_b.astype(np.int64), pos64, L)
     n_sub = len(s_rowa)
-    # chunk the stream so each device's scalar-prefetch slice stays within
-    # the Pallas kernel's SMEM budget (CHUNK subtasks/device), dispatching
-    # all chunks before any host fetch (async pipelining)
+    # Shape the whole stream as (n_chunks, n_dev*CHUNK): dim 1 shards
+    # across the mesh (CHUNK subtasks per device per row keeps each
+    # pallas_call's scalar-prefetch slice within SMEM), and each device
+    # scans its rows on device — ONE transfer per input column, ONE
+    # dispatch, ONE fetch per output, instead of a round trip per 32k
+    # subtasks. n_chunks is padded to the next power of two so compile
+    # cache entries stay bounded as stream sizes vary.
     step = n_dev * CHUNK
-    pad_full = (-n_sub) % (n_dev * TB)
-    total = n_sub + pad_full
-    fn = _sharded_segment_fn(float(mismatch_thresh))(mesh)
+    n_chunks = max((n_sub + step - 1) // step, 1)
+    n_chunks = 1 << (n_chunks - 1).bit_length()
+    total = n_chunks * step
+    fn = _sharded_scan_fn(float(mismatch_thresh))(mesh)
     comb_d = _make_global(mesh, combined, replicated=True)
-    dev_outs = []
-    ns = []
-    cols_np = (s_rowa, s_rowb, s_posa, s_bolen)
-    for start in range(0, total, step):
-        end = min(start + step, total)
-        n = min(end, n_sub) - start
-        pad = (end - start) - max(n, 0)
-        ins = []
-        for c in cols_np:
-            arr = c[start:start + max(n, 0)]
-            if pad:
-                arr = np.concatenate([arr, np.zeros(pad, np.int32)])
-            ins.append(_make_global(mesh, arr))
-        dev_outs.append(fn(comb_d, *ins))
-        ns.append(max(n, 0))
-    fetched = [
-        np.concatenate([_fetch_global(d[j], mesh)[:n]
-                        for d, n in zip(dev_outs, ns)])
-        for j in range(4)
-    ]
+    ins = []
+    for c in (s_rowa, s_rowb, s_posa, s_bolen):
+        arr = c
+        if total - n_sub:
+            arr = np.concatenate([arr, np.zeros(total - n_sub, np.int32)])
+        ins.append(_make_global(mesh, arr.reshape(n_chunks, step), spec_dim=1))
+    outs = fn(comb_d, *ins)
+    fetched = [_fetch_global(outs[j], mesh, spec_dim=1).reshape(-1)[:n_sub]
+               for j in range(4)]
     from ..ops.score import reduce_segments_to_tasks
 
     return reduce_segments_to_tasks(fetched, bounds, pos64, len_a, len_b,
                                     int(min_read_len))
 
 
-def _make_global(mesh, host_arr: np.ndarray, replicated: bool = False):
+def _make_global(mesh, host_arr: np.ndarray, replicated: bool = False,
+                 spec_dim: int = 0):
     """Build a global jax.Array over `mesh` from a host array every process
     holds in full. Single-process: a plain device_put with the sharding.
     Multi-host: make_array_from_callback slices each addressable shard out
     of the full host copy — the documented-safe construction (the classic
-    pitfall is feeding a process-local jnp.asarray to a global-mesh jit)."""
+    pitfall is feeding a process-local jnp.asarray to a global-mesh jit).
+    `spec_dim` picks which dimension the mesh axis shards (0 for flat
+    streams, 1 for the (n_chunks, n_dev*CHUNK) scan layout)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axis = mesh.axis_names[0]
-    spec = P() if replicated else P(axis)
+    if replicated:
+        spec = P()
+    elif spec_dim == 0:
+        spec = P(axis)
+    else:
+        spec = P(*([None] * spec_dim + [axis]))
     sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.device_put(host_arr, sharding)
@@ -202,21 +260,29 @@ def _make_global(mesh, host_arr: np.ndarray, replicated: bool = False):
         host_arr.shape, sharding, lambda idx: host_arr[idx])
 
 
-def _fetch_global(arr, mesh) -> np.ndarray:
-    """Fetch a P(axis)-sharded global output to a full host numpy array on
-    every process. Single-process arrays are fully addressable; multi-host,
-    each process reassembles its addressable shards and allgathers the rest
-    over DCN (graph phases downstream are replicated host code that needs
-    the complete verified stream, SURVEY §5 distributed-backend note)."""
+def _fetch_global(arr, mesh, spec_dim: int = 0) -> np.ndarray:
+    """Fetch a mesh-axis-sharded global output to a full host numpy array
+    on every process. Single-process arrays are fully addressable;
+    multi-host, each process reassembles its addressable shards and
+    allgathers the rest over DCN (graph phases downstream are replicated
+    host code that needs the complete verified stream, SURVEY §5
+    distributed-backend note). `spec_dim` names the sharded dimension;
+    with a 1-D device mesh built from jax.devices() the device order is
+    process-major, so per-process blocks concatenate in process order
+    along that dimension."""
     import jax
 
     if jax.process_count() == 1:
         return np.asarray(arr)
     from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
 
-    local = multihost_utils.global_array_to_host_local_array(
-        arr, mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
-    return multihost_utils.process_allgather(np.asarray(local), tiled=True)
+    axis = mesh.axis_names[0]
+    spec = P(axis) if spec_dim == 0 else P(*([None] * spec_dim + [axis]))
+    local = multihost_utils.global_array_to_host_local_array(arr, mesh, spec)
+    gathered = multihost_utils.process_allgather(np.asarray(local))
+    # gathered: (n_proc, *local_shape); stitch along the sharded dim
+    return np.concatenate(list(gathered), axis=spec_dim)
 
 
 @functools.lru_cache(maxsize=8)

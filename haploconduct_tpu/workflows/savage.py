@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import os
 import random
+import sys
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -60,6 +62,7 @@ class SavageConfig:
     kmer_k: int = 20
     profile_dir: str = ""  # capture jax.profiler/xprof traces per stage
     verbose: bool = False
+    progress: bool = False  # one stderr line per patch/stage (envelope runs)
 
 
 @dataclass
@@ -320,11 +323,13 @@ def run_savage(
         mine = my_work_items(len(patches))
         local_results: List[StageResult] = []
         for pidx in mine:
+            t_patch = time.time()
             pstore, _ = patches[pidx]
             if ref_index is not None:
                 overlaps = ref_guided_candidates(pstore, ref_index, min_overlap_len)
             else:
                 overlaps = denovo_candidates(pstore, min_overlap_len, cfg.sfo_mm, cfg.kmer_k)
+            t_cand = time.time() - t_patch
             params = StageParams(
                 stage="a",
                 min_overlap_len=min_overlap_len,
@@ -338,6 +343,13 @@ def run_savage(
                 profile_dir=cfg.profile_dir,
             )
             local_results.append(run_stage(params, pstore, overlaps))
+            if cfg.progress:
+                r = local_results[-1]
+                print(f"[savage] patch {pidx + 1}/{len(patches)}: "
+                      f"{len(pstore)} reads, {len(overlaps)} candidates "
+                      f"({t_cand:.0f}s) -> {len(r.store)} contigs in "
+                      f"{r.iterations} its, {time.time() - t_patch:.0f}s",
+                      file=sys.stderr, flush=True)
         patch_results = allgather_stage_results(local_results, mine, len(patches))
 
         combined, combined_sub = combine_patch_contigs(patch_results, id_maps)

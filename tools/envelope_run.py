@@ -2,20 +2,19 @@
 
 Two workloads at the reference's documented operating envelopes:
 
-1. SAVAGE ultra-deep patching: total coverage >= 10,000x, split so each
-   patch sees 500 < coverage < 1000 (savage/README.md:313-319, the
-   explicit --split_num guidance; /root/reference/README.md:99). Genome
-   length is the free axis on this 2-vCPU host — per-patch work scales
-   linearly with it at fixed patch coverage, so the envelope's stress
-   (patch coverage, patch count, recombination of patch contigs through
-   stages b/c) is fully exercised on a 1kb two-haplotype genome.
+1. SAVAGE ultra-deep patching at the reference's REAL operating point:
+   a ~10kb viral genome (HIV-scale) at 10,000x total coverage, split so
+   each patch sees 500 < coverage < 1000 (savage/README.md:313-319, the
+   explicit --split_num guidance; /root/reference/README.md:99) —
+   ~660k reads total, 15 patches @ ~44k reads/patch.
 
 2. polyte-split on a >100kb genome (README.md:99-101: "genomes larger
    than 100kb"), 15x per haplotype (polyte/README.md:77-78's optimal
    range), windowed into 10kb regions.
 
 Usage: python tools/envelope_run.py [savage|polyte|both]
-Prints one JSON line per workload; results are recorded in BASELINE.md.
+Prints one JSON line per workload; measured results are recorded in
+BASELINE.md's envelope table (rerun this tool to reproduce them).
 """
 import json
 import os
@@ -39,7 +38,7 @@ def make_store(seqs, quals):
     return store
 
 
-def savage_envelope(genome_len=1000, total_cov=10000, split_num=15,
+def savage_envelope(genome_len=10000, total_cov=10000, split_num=15,
                     read_len=150):
     from haploconduct_tpu.workflows.savage import SavageConfig, run_savage
 
@@ -53,12 +52,14 @@ def savage_envelope(genome_len=1000, total_cov=10000, split_num=15,
     store = make_store(seqs, quals)
     cov_per_patch = total_cov / split_num
     assert 500 < cov_per_patch < 1000, cov_per_patch
-    print(f"[savage] {len(store)} reads = {total_cov}x total, "
-          f"{split_num} patches @ {cov_per_patch:.0f}x", file=sys.stderr)
+    print(f"[savage] {len(store)} reads = {total_cov}x total over "
+          f"{genome_len/1000:.0f}kb, {split_num} patches @ "
+          f"{cov_per_patch:.0f}x (~{len(store)//split_num} reads/patch)",
+          file=sys.stderr)
 
     t0 = time.time()
     cfg = SavageConfig(split_num=split_num, backend="native",
-                       min_clique_size=4)
+                       min_clique_size=4, progress=True)
     res = run_savage(store, cfg)
     wall = time.time() - t0
     ids_c, contigs_c = res.contigs("c")
