@@ -61,6 +61,33 @@ class BranchReduction:
         self.false_in_branches: Set[int] = set()
         self.false_out_branches: Set[int] = set()
         self.branching_components: List[Tuple[List[NodePair], int]] = []
+        # vectorized-evidence state: packed original-read matrix (cached on
+        # the store across iterations) + per-node originals arrays
+        self._orig_packed = original_store.pack_cached()
+        self._node_originals: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._node_keys: Dict[int, np.ndarray] = {}
+
+    def _originals_arrays(self, node: int):
+        """(subread_ids, index1, forward) arrays of a contig's originals,
+        in dict order; cached per node for the run."""
+        got = self._node_originals.get(node)
+        if got is None:
+            d = self._originals_of(node)
+            ids = np.fromiter(d.keys(), np.int64, count=len(d))
+            idx1 = np.fromiter((oi.index1 for oi in d.values()), np.int64,
+                               count=len(d))
+            fwd = np.fromiter((oi.forward for oi in d.values()), np.bool_,
+                              count=len(d))
+            got = self._node_originals[node] = (ids, idx1, fwd)
+        return got
+
+    def _originals_keys(self, node: int) -> np.ndarray:
+        got = self._node_keys.get(node)
+        if got is None:
+            d = self._originals_of(node)
+            got = self._node_keys[node] = np.sort(
+                np.fromiter(d.keys(), np.int64, count=len(d)))
+        return got
 
     # ------------------------------------------------------------- helpers
     def _contig_seq(self, node: int, oriented_by: int) -> np.ndarray:
@@ -203,31 +230,69 @@ class BranchReduction:
             missing_inclusions = []
         missing_edges.extend(new_missing)
 
-        subreads1 = self._originals_of(node1)
         evidence_per_neighbor: Dict[int, List[int]] = {}
         orc = self.s.original_readcount
+        keys1 = self._originals_keys(node1)
+        dp_arr = np.asarray(diff_list, dtype=np.int64)
+        packed = self._orig_packed
+        U = packed.n_units
+        store = self.original_store
+        unit1_arr = np.asarray(store.unit1, dtype=np.int64)
         for node2, contig, start in zip(neighbors, sequences, startpos):
+            # batched check_read_evidence (BranchReduction.cpp:716-743):
+            # one (candidate-subread, diff-pos) compare matrix per neighbor
+            # against the packed original-read rows — the serial per-subread
+            # scan was the POLYTE hot loop (VERDICT r3 task 6); the scalar
+            # semantics are reproduced exactly (agree at ALL covered diff
+            # positions, with at least one covered).
+            ids, idx1, fwd = self._originals_arrays(node2)
+            if len(keys1) == 0:
+                evidence_per_neighbor[node2] = []
+                continue
+            pos1 = np.searchsorted(keys1, ids)
+            pos1c = np.minimum(pos1, len(keys1) - 1)
+            in1 = (pos1 < len(keys1)) & (keys1[pos1c] == ids)
+            mate = np.where(ids >= self.SE_count + self.PE_count,
+                            ids - self.PE_count,
+                            np.where(ids >= self.SE_count,
+                                     ids + self.PE_count, -1))
+            posm = np.searchsorted(keys1, mate)
+            posmc = np.minimum(posm, len(keys1) - 1)
+            mate_in1 = ((mate >= 0) & (posm < len(keys1))
+                        & (keys1[posmc] == mate))
+            cand = np.flatnonzero(in1 | mate_in1)
+            if len(cand) == 0 or len(dp_arr) == 0:
+                evidence_per_neighbor[node2] = []
+                continue
+            c_ids = ids[cand]
+            c_idx1 = idx1[cand]
+            c_fwd = fwd[cand]
+            if store.ids_identity():
+                orig_idx = c_ids
+            else:
+                sk, order = store.ids_index()
+                orig_idx = order[np.searchsorted(sk, c_ids)]
+            u1 = unit1_arr[orig_idx]
+            rows = np.where(c_fwd, u1, u1 + U)
+            rlen = packed.lens[u1].astype(np.int64)
+            read_start = start + c_idx1
+            # (n_cand, D) offsets into each read
+            off = dp_arr[None, :] - read_start[:, None]
+            in_read = (off >= 0) & (off < rlen[:, None])
+            in_contig = (dp_arr >= start) & (dp_arr < start + len(contig))
+            covered = in_read & in_contig[None, :]
+            vals = packed.codes[rows[:, None],
+                                np.clip(off, 0, packed.width - 1)]
+            cv = contig[np.clip(dp_arr - start, 0, len(contig) - 1)]
+            agree = vals == cv[None, :]
+            ok_vec = (~(covered & ~agree).any(axis=1)) & covered.any(axis=1)
             evidence: List[int] = []
-            subreads2 = self._originals_of(node2)
-            for subread_id, oi in subreads2.items():
-                in_subreads1 = subread_id in subreads1
-                if subread_id >= self.SE_count + self.PE_count:
-                    mate_id = subread_id - self.PE_count
-                elif subread_id >= self.SE_count:
-                    mate_id = subread_id + self.PE_count
-                else:
-                    mate_id = None
-                mate_in_subreads1 = mate_id is not None and mate_id in subreads1
-                if not in_subreads1 and not mate_in_subreads1:
-                    continue
-                orig_idx = self.original_store.id_to_index[subread_id]
-                u1, _ = self.original_store.units_of(orig_idx)
-                seq = self.original_store.unit_codes(u1, oi.forward)
-                ok = self.check_read_evidence(contig, start, seq, oi.index1, diff_list)
-                if in_subreads1 and ok:
-                    evidence.append(subread_id)
-                if mate_in_subreads1 and ok:
-                    evidence.append(orc + min(subread_id, mate_id))
+            for kk in np.flatnonzero(ok_vec):
+                ci = cand[kk]
+                if in1[ci]:
+                    evidence.append(int(ids[ci]))
+                if mate_in1[ci]:
+                    evidence.append(orc + int(min(ids[ci], mate[ci])))
             evidence_per_neighbor[node2] = sorted(set(evidence))
 
         for pair in missing_inclusions:

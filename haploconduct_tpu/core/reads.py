@@ -244,6 +244,17 @@ class ReadStore:
             quals[u + i, :n] = q[::-1]
         return PackedUnits(codes=codes, quals=quals, lens=lens, n_units=u)
 
+    def pack_cached(self) -> "PackedUnits":
+        """Default-width pack(), cached while no reads are added (reads are
+        append-only and never mutated in place). Used by consumers that
+        re-pack an UNCHANGING store every iteration, e.g. BranchReduction's
+        original-read matrix."""
+        cur = self.n_units
+        cached = getattr(self, "_pack_cache", None)
+        if cached is None or cached[0] != cur:
+            self._pack_cache = (cur, self.pack())
+        return self._pack_cache[1]
+
 
 class PackedUnits:
     """Padded unit matrices ready for device transfer.
