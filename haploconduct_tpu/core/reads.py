@@ -80,8 +80,12 @@ class ReadStore:
     # ------------------------------------------------------------- building
     def _add_unit(self, codes: np.ndarray, quals: np.ndarray) -> int:
         assert codes.shape == quals.shape
-        self._unit_codes.append(codes.astype(np.int8))
-        self._unit_quals.append(quals.astype(np.uint8))
+        # no-copy when already typed: units forwarded unchanged between
+        # iteration stores then SHARE their arrays, which the device-
+        # resident matrix cache (ops/device_cache.py) exploits; units are
+        # append-only and never mutated in place, so sharing is safe
+        self._unit_codes.append(np.ascontiguousarray(codes, dtype=np.int8))
+        self._unit_quals.append(np.ascontiguousarray(quals, dtype=np.uint8))
         return len(self._unit_codes) - 1
 
     def add_single(self, read_id: int, seq: str, phred: str) -> int:

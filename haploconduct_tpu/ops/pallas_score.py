@@ -425,7 +425,13 @@ def score_tasks_pallas(
     n_sub = len(s_rowa)
 
     fn = _build_kernel(float(mismatch_thresh), _fits_vmem(codes))
-    comb_d = jnp.asarray(combined)
+    # device-resident matrix across iterations: unchanged rows are reused
+    # from the previous upload on device, only changed rows travel
+    # (ops/device_cache.py; disable with HC_DEVICE_CACHE=0)
+    from .device_cache import comb_for_device
+
+    comb_d = comb_for_device(codes, quals, unit_lens_by_row.astype(np.int64),
+                             combined)
     # dispatch ALL chunks before any host fetch: JAX dispatch is async, so
     # upload/kernel/download pipeline across chunks; a per-chunk
     # np.asarray would serialize one tunnel round-trip per chunk (~0.5s

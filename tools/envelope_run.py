@@ -39,27 +39,38 @@ def make_store(seqs, quals):
 
 
 def savage_envelope(genome_len=10000, total_cov=10000, split_num=15,
-                    read_len=150):
+                    read_len=150, n_haps=4, divergence=0.03,
+                    ckpt_dir=None):
     from haploconduct_tpu.workflows.savage import SavageConfig, run_savage
 
     rng = np.random.default_rng(0)
     genome = random_genome(rng, genome_len)
-    hap2 = mutate_sequence(genome, rng, sub_rate=0.01)
-    per_hap = total_cov / 2
-    seqs, quals = simulate_reads([genome, hap2], coverage=per_hap,
+    # a quasispecies-like strain mix: n_haps haplotypes each ~divergence
+    # from the master (pairwise ~2*divergence) — the regime of the
+    # reference's HIV lab-mix benchmarks (savage/README.md:292-310's
+    # 5-strain example; strains differ by a few percent). At <1%
+    # divergence with only 2 strains stage a cannot separate haplotypes
+    # and emits pathological contig counts, which no assembler's stage b
+    # (including rust-overlaps) is meant to ingest.
+    haps = [genome] + [mutate_sequence(genome, rng, sub_rate=divergence)
+                       for _ in range(n_haps - 1)]
+    per_hap = total_cov / n_haps
+    seqs, quals = simulate_reads(haps, coverage=per_hap,
                                  read_len=read_len, rng=rng,
                                  error_rate=0.002)
     store = make_store(seqs, quals)
     cov_per_patch = total_cov / split_num
     assert 500 < cov_per_patch < 1000, cov_per_patch
     print(f"[savage] {len(store)} reads = {total_cov}x total over "
-          f"{genome_len/1000:.0f}kb, {split_num} patches @ "
-          f"{cov_per_patch:.0f}x (~{len(store)//split_num} reads/patch)",
+          f"{genome_len/1000:.0f}kb ({n_haps} strains), {split_num} "
+          f"patches @ {cov_per_patch:.0f}x "
+          f"(~{len(store)//split_num} reads/patch)",
           file=sys.stderr)
 
     t0 = time.time()
     cfg = SavageConfig(split_num=split_num, backend="native",
-                       min_clique_size=4, progress=True)
+                       min_clique_size=4, progress=True,
+                       output_dir=ckpt_dir, resume=ckpt_dir is not None)
     res = run_savage(store, cfg)
     wall = time.time() - t0
     ids_c, contigs_c = res.contigs("c")
@@ -129,7 +140,11 @@ def polyte_envelope(genome_len=120000, hap_cov=15, read_len=250):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    ckpt = None
+    for a in sys.argv[2:]:
+        if a.startswith("--ckpt="):
+            ckpt = a.split("=", 1)[1]
     if which in ("savage", "both"):
-        savage_envelope()
+        savage_envelope(ckpt_dir=ckpt)
     if which in ("polyte", "both"):
         polyte_envelope()

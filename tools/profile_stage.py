@@ -60,5 +60,7 @@ res = run_stage(params, store, ov)
 prof.disable()
 t2 = time.time()
 print(f"stage a: {t2-t1:.1f}s, {len(res.store)} contigs, {res.iterations} iterations")
+print("phases:", {k: round(v, 2) for k, v in sorted(
+    res.phase_times.items(), key=lambda kv: -kv[1])})
 st = pstats.Stats(prof)
 st.sort_stats("cumulative").print_stats(TOP)
