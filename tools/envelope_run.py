@@ -94,6 +94,21 @@ def savage_envelope(genome_len=10000, total_cov=10000, split_num=15,
 def polyte_envelope(genome_len=120000, hap_cov=15, read_len=250):
     import tempfile
 
+    # Force CPU: every phase of this workload is host-side by design (the
+    # reference bins reads with bwa on the host, polyte-split.py:256-261,
+    # and the assembly backend here is "native"), but the banded-alignment
+    # binning step would otherwise dispatch to the default device — through
+    # the dev tunnel that means ~50MB of int8 task matrices at a bursty
+    # 3-34MB/s h2d, which can stall the run for tens of minutes and wedge
+    # the tunnel for other clients. Chip-path alignment correctness is
+    # covered by the RUN_TPU tests; the envelope record is a host number.
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
     from haploconduct_tpu.workflows.polyte_split import (PolyteSplitConfig,
                                                          run_polyte_split)
 
