@@ -160,7 +160,8 @@ class FNO1:
         self.store = builder.store
         self.s = builder.s
         self.lines: Set[str] = set()
-        self.found: Dict[int, Set[int]] = {}
+        self.found: Set[int] = set()  # packed (lo<<32|hi) pair keys
+        self._tbl: Optional[dict] = None
         # node -> superreads containing it
         self.nodes_to_sr: Dict[int, List[Superread]] = {}
         for sr in builder.single_SR:
@@ -171,11 +172,10 @@ class FNO1:
                 self.nodes_to_sr.setdefault(node, []).append(sr)
 
     def _mark_found(self, id1: int, id2: int) -> bool:
-        lo, hi = min(id1, id2), max(id1, id2)
-        seen = self.found.setdefault(lo, set())
-        if hi in seen:
+        key = (min(id1, id2) << 32) | max(id1, id2)
+        if key in self.found:
             return False
-        seen.add(hi)
+        self.found.add(key)
         return True
 
     def _emit(self, id_first, id_second, d, ori1, ori2) -> None:
@@ -294,16 +294,218 @@ class FNO1:
                         d["t1"], d["t2"] = d["type2"], d["type1"]
                         self._emit(id2, id1, d, ori1, ori2)
 
+    # ------------------------------------------------------- batched path
+    #
+    # updateOverlap is data-parallel over edge rows: the reference runs it
+    # under OpenMP with per-thread dedup sets (FindNextOverlaps.cpp:568-601).
+    # Here the all-single cases (the dominant population once contigs merge
+    # — 94% of 4.9M calls in the envelope-scale stage b were
+    # both-endpoints-in-superreads S-S) are computed as flat numpy batches;
+    # rows touching paired reads/superreads fall back to the scalar port,
+    # processed in row order so the first-wins dedup (`found`) semantics
+    # are bit-identical. HC_FNO_BATCH=0 forces the scalar path (A/B oracle).
+
+    def _ensure_tables(self) -> dict:
+        if self._tbl is not None:
+            return self._tbl
+        g, b, store = self.g, self.b, self.store
+        n = g.n
+        counts = np.zeros(n + 1, np.int64)
+        for node, srs in self.nodes_to_sr.items():
+            counts[node + 1] = len(srs)
+        ptr = np.cumsum(counts)
+        total = int(ptr[-1])
+        gid = np.zeros(max(total, 1), np.int64)
+        gil = np.zeros(max(total, 1), np.int64)
+        gl1 = np.ones(max(total, 1), np.int64)
+        any_paired = np.zeros(n, bool)
+        for node, srs in self.nodes_to_sr.items():
+            o = int(ptr[node])
+            for j, sr in enumerate(srs):
+                si = sr.subread_map[node]
+                gid[o + j] = sr.read_id
+                gil[o + j] = si.index1 - si.startpos1
+                gl1[o + j] = len(sr.seq1)
+                if sr.is_paired:
+                    any_paired[node] = True
+        new_ids = np.full(n, -1, np.int64)
+        for node, nid in b.nodes_to_new_ids.items():
+            if node < n:
+                new_ids[node] = nid
+        rlen = np.fromiter(
+            (store.unit_len(store.units_of(i)[0]) for i in range(n)),
+            np.int64, count=n)
+        self._tbl = dict(
+            ptr=ptr, id=gid, il=gil, l1=gl1, any_paired=any_paired,
+            new_ids=new_ids, read_len=rlen,
+            is_paired=np.asarray(store.is_paired[:n], dtype=bool),
+            vo=np.asarray(g.vertex_orientations, dtype=bool)
+            if self.s.resolve_orientations else np.zeros(n, bool),
+        )
+        return self._tbl
+
+    def _update_overlaps_batch(self, rows: np.ndarray) -> None:
+        if len(rows) == 0:
+            return
+        import os as _os
+
+        if _os.environ.get("HC_FNO_BATCH") == "0":
+            for erow in rows:
+                self._update_overlap(erow)
+            return
+        T = self._ensure_tables()
+        b = self.b
+        v1 = rows["v1"].astype(np.int64)
+        v2 = rows["v2"].astype(np.int64)
+        vis1 = b.visited[v1]
+        vis2 = b.visited[v2]
+        isp, anyP = T["is_paired"], T["any_paired"]
+        fb = ((~vis1 & vis2) & (isp[v1] | anyP[v2])
+              | (vis1 & ~vis2) & (anyP[v1] | isp[v2])
+              | (vis1 & vis2) & (anyP[v1] | anyP[v2]))
+        if not fb.any():
+            self._vector_run(rows)
+            return
+        # scalar-fallback rows interleave in row order to keep `found`
+        # first-wins marks identical to the pure scalar sweep
+        start = 0
+        for f in np.flatnonzero(fb):
+            f = int(f)
+            if f > start:
+                self._vector_run(rows[start:f])
+            self._update_overlap(rows[f])
+            start = f + 1
+        if start < len(rows):
+            self._vector_run(rows[start:])
+
+    def _vector_run(self, rows: np.ndarray) -> None:
+        """All-single batch: every visited endpoint's superreads are
+        single-end and every unvisited endpoint is a single-end read, so
+        every induced overlap is the S-S case of computeOverlapData
+        (FindNextOverlaps.cpp:371-398)."""
+        s, b, store = self.s, self.b, self.store
+        T = self._tbl
+        R = len(rows)
+        v1 = rows["v1"].astype(np.int64)
+        v2 = rows["v2"].astype(np.int64)
+        vis1 = b.visited[v1]
+        vis2 = b.visited[v2]
+        pos1 = rows["pos1"].astype(np.int64)
+        if s.resolve_orientations:
+            zm = rows["score"] == 0.0
+            vo = T["vo"]
+            o1 = np.where(zm, rows["ori1"] == vo[v1], True)
+            o2 = np.where(zm, rows["ori2"] == vo[v2], True)
+        else:
+            o1 = np.ones(R, bool)
+            o2 = np.ones(R, bool)
+
+        add = self.lines.add
+        nn = ~vis1 & ~vis2
+        if nn.any():
+            idx = np.flatnonzero(nn)
+            newid = T["new_ids"]
+            isp = T["is_paired"]
+            id1 = newid[v1[idx]]
+            id2 = newid[v2[idx]]
+            percs = rows["perc"][idx]
+            keep = (percs != 100) if s.no_inclusions else np.ones(len(idx), bool)
+            for (i1v, i2v, p1v, p2v, ov, av, bv, pv, l1v, l2v,
+                 pp1, pp2, kp) in zip(
+                    id1.tolist(), id2.tolist(), pos1[idx].tolist(),
+                    rows["pos2"][idx].tolist(), rows["ord"][idx],
+                    o1[idx].tolist(), o2[idx].tolist(), percs.tolist(),
+                    rows["len1"][idx].tolist(), rows["len2"][idx].tolist(),
+                    isp[v1[idx]].tolist(), isp[v2[idx]].tolist(),
+                    keep.tolist()):
+                if kp:
+                    add(f"{i1v}\t{i2v}\t{p1v}\t{p2v}\t{ov.decode()}\t"
+                        f"{'+' if av else '-'}\t{'+' if bv else '-'}\t{pv}\t0\t"
+                        f"{l1v}\t{l2v}\t{'p' if pp1 else 's'}\t{'p' if pp2 else 's'}")
+
+        mv = np.flatnonzero(~nn)
+        if len(mv) == 0:
+            return
+        ptr, gid, gil, gl1 = T["ptr"], T["id"], T["il"], T["l1"]
+        newid, rlen = T["new_ids"], T["read_len"]
+        nv1, nv2 = v1[mv], v2[mv]
+        w1, w2 = vis1[mv], vis2[mv]
+        cu = np.where(w1, ptr[nv1 + 1] - ptr[nv1], 1)
+        cv = np.where(w2, ptr[nv2 + 1] - ptr[nv2], 1)
+        rep = cu * cv
+        tot = int(rep.sum())
+        if tot == 0:
+            return
+        row_of = np.repeat(np.arange(len(mv)), rep)
+        base = np.cumsum(rep) - rep
+        within = np.arange(tot, dtype=np.int64) - base[row_of]
+        cvr = cv[row_of]
+        iu = within // cvr
+        iv = within - iu * cvr
+        nu, nv = nv1[row_of], nv2[row_of]
+        vu, vv = w1[row_of], w2[row_of]
+        cap = len(gid) - 1
+        suc = np.minimum(ptr[nu] + iu, cap)
+        svc = np.minimum(ptr[nv] + iv, cap)
+        idU = np.where(vu, gid[suc], newid[nu])
+        ilU = np.where(vu, gil[suc], 0)
+        l1U = np.where(vu, gl1[suc], rlen[nu])
+        idV = np.where(vv, gid[svc], newid[nv])
+        ilV = np.where(vv, gil[svc], 0)
+        l1V = np.where(vv, gl1[svc], rlen[nv])
+
+        np1 = pos1[mv][row_of] + ilU - ilV
+        neg = np1 < 0
+        np1a = np.where(neg, -np1, np1)
+        ln = np.where(neg, l1V, l1U)
+        ov1 = np.minimum(np.minimum(ln - np1a, l1U), l1V)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            perc = np.floor(
+                np.maximum(ov1 / l1U, ov1 / l1V) * 100).astype(np.int64)
+        valid = np1a < ln
+
+        cand = ~(vu & vv & (idU == idV))
+        key = (np.minimum(idU, idV) << 32) | np.maximum(idU, idV)
+        # first occurrence per pair key, in candidate order (= scalar order)
+        masked = np.where(cand, key, np.int64(-1))
+        _, first_idx = np.unique(masked, return_index=True)
+        first = np.zeros(tot, bool)
+        first[first_idx] = True
+        first &= cand
+        sel = np.flatnonzero(first)
+        keys_sel = key[sel].tolist()
+        found = self.found
+        fresh = np.fromiter((k not in found for k in keys_sel), bool,
+                            count=len(sel))
+        found.update(k for k, kn in zip(keys_sel, fresh) if kn)
+        emit = sel[fresh]
+        emit = emit[valid[emit]]
+        if s.no_inclusions:
+            emit = emit[perc[emit] != 100]
+        if len(emit) == 0:
+            return
+        is1 = ~neg[emit]
+        idf = np.where(is1, idU[emit], idV[emit])
+        ids_ = np.where(is1, idV[emit], idU[emit])
+        o1e = o1[mv][row_of[emit]]
+        o2e = o2[mv][row_of[emit]]
+        for a_, b_, p_, pc, l_, x, y in zip(
+                idf.tolist(), ids_.tolist(), np1a[emit].tolist(),
+                perc[emit].tolist(), ov1[emit].tolist(),
+                o1e.tolist(), o2e.tolist()):
+            add(f"{a_}\t{b_}\t{p_}\t0\t-\t{'+' if x else '-'}\t"
+                f"{'+' if y else '-'}\t{pc}\t0\t{l_}\t0\ts\ts")
+
     def run(self, nonedge_overlaps: Optional[np.ndarray] = None) -> List[str]:
         g = self.g
         rows = g.edges
         # current edges (adjacency order)
-        for vtx in range(g.n):
-            for e in g.adj_out[vtx]:
-                self._update_overlap(rows[e])
+        eidx = [e for vtx in range(g.n) for e in g.adj_out[vtx]]
+        self._update_overlaps_batch(rows[np.asarray(eidx, dtype=np.int64)])
         # removed branching/tip/cycle edges
-        for erow in g.branching_edges:
-            self._update_overlap(erow)
+        if len(g.branching_edges):
+            self._update_overlaps_batch(
+                np.asarray(g.branching_edges, dtype=rows.dtype))
         # nonedge overlaps (only when optimize=false)
         if not self.s.optimize and nonedge_overlaps is not None:
             self._reconsider_nonedges(nonedge_overlaps)
@@ -346,7 +548,11 @@ class FNO1:
         read_lens = np.array([store.read_len(i) for i in range(len(store))],
                              dtype=np.int64)
         av1, av2 = g.edge_endpoints()
-        pair_set = set(zip(av1.tolist(), av2.tolist()))
+        # undirected packed keys, sorted, for vectorized existing-edge checks
+        a64 = av1.astype(np.int64)
+        b64 = av2.astype(np.int64)
+        edge_keys = np.unique((np.minimum(a64, b64) << 32)
+                              | np.maximum(a64, b64))
         # flatten every inclusion list's triu pairs into ONE candidate batch
         # (preserving list order and i<j order within a list, so the
         # surviving emit order below equals the per-list loop's); the
@@ -375,23 +581,32 @@ class FNO1:
             pos1 = np.where(case1, e2["pos1"], e1["pos1"]).astype(np.int64)
             ori1 = np.where(case1, e2["ori1"], e1["ori1"])
             ori2 = np.where(case1, e1["ori2"], e2["ori2"])
+            # drop candidates whose endpoints already share an edge
+            # (either direction), vectorized against the sorted key table
+            ka = n1[idxs]
+            kb = n2[idxs]
+            ukey = (np.minimum(ka, kb) << 32) | np.maximum(ka, kb)
+            if len(edge_keys):
+                p = np.minimum(np.searchsorted(edge_keys, ukey),
+                               len(edge_keys) - 1)
+                idxs = idxs[edge_keys[p] != ukey]
+            if len(idxs) == 0:
+                return
             l1 = read_lens[n1[idxs]]
             l2 = read_lens[n2[idxs]]
             length = np.minimum(l1 - pos1[idxs], l2)
             perc = (100 * length) // np.minimum(l1, l2)
-            for k, kk in enumerate(idxs):
-                a, b = int(n1[kk]), int(n2[kk])
-                if (a, b) in pair_set or (b, a) in pair_set:
-                    continue
-                erow = np.zeros(1, dtype=rows_dtype())[0]
-                erow["v1"], erow["v2"] = a, b
-                erow["score"] = s.edge_threshold
-                erow["pos1"], erow["pos2"] = int(pos1[kk]), 0
-                erow["ori1"], erow["ori2"] = bool(ori1[kk]), bool(ori2[kk])
-                erow["ord"] = b"-"
-                erow["perc"] = int(perc[k])
-                erow["len1"], erow["len2"] = int(length[k]), 0
-                self._update_overlap(erow)
+            erows = np.zeros(len(idxs), dtype=rows_dtype())
+            erows["v1"] = n1[idxs]
+            erows["v2"] = n2[idxs]
+            erows["score"] = s.edge_threshold
+            erows["pos1"] = pos1[idxs]
+            erows["ori1"] = ori1[idxs].astype(bool)
+            erows["ori2"] = ori2[idxs].astype(bool)
+            erows["ord"] = b"-"
+            erows["perc"] = perc
+            erows["len1"] = length
+            self._update_overlaps_batch(erows)
 
         # bounded chunks: peak memory is O(PAIR_CAP), not O(sum ln^2); chunks
         # are processed in list order so the emit order is unchanged
