@@ -274,3 +274,68 @@ def test_native_consensus_bit_identical_to_numpy(monkeypatch):
         assert r[2] == g[2], i
         assert np.array_equal(r[0], g[0]), i
         assert np.array_equal(r[1], g[1]), i
+
+
+def test_fno_batch_matches_scalar(monkeypatch):
+    """The vectorized FNO1 batch path (fno.py:_update_overlaps_batch) must
+    emit the exact overlap-line set and dedup decisions of the scalar port
+    (FindNextOverlaps.cpp:568-601), including on paired-end mixes that
+    exercise the scalar-fallback interleave."""
+    rng = np.random.default_rng(7)
+
+    def noisy_store(n_single, n_paired, length=80, step=17):
+        store = ReadStore()
+        rid = 0
+        for i in range(n_single):
+            start = (i * step) % (len(TEMPLATE) - length)
+            seq = list(TEMPLATE[start:start + length])
+            # sprinkle mismatches so scores differ and edges tie-break
+            for p in rng.integers(0, length, 2):
+                seq[p] = "ACGT"[rng.integers(0, 4)]
+            store.add_single(rid, "".join(seq), "I" * length)
+            rid += 1
+        for i in range(n_paired):
+            start = (i * step + 11) % (len(TEMPLATE) - 2 * length - 40)
+            store.add_paired(rid, TEMPLATE[start:start + length],
+                             "I" * length,
+                             TEMPLATE[start + length + 40:start + 2 * length + 40],
+                             "I" * length)
+            rid += 1
+        store.readcount_single = n_single
+        store.readcount_paired = n_paired
+        return store
+
+    def all_pairs_overlaps(store, length=80, step=17):
+        ids1, ids2, pos = [], [], []
+        n = len(store)
+        for i in range(n - 1):
+            for j in range(i + 1, min(i + 4, n)):
+                if store.is_paired[i] or store.is_paired[j]:
+                    continue
+                ids1.append(i)
+                ids2.append(j)
+                pos.append(min((j - i) * step, length - 20))
+        ov_len = [length - p for p in pos]
+        return make_overlaps(
+            id1=np.array(ids1), id2=np.array(ids2), pos1=np.array(pos),
+            len1=np.array(ov_len),
+            perc1=np.minimum(100 * np.array(ov_len) // length, 100))
+
+    store = noisy_store(14, 3)
+    ov = all_pairs_overlaps(store)
+    s = Settings(
+        min_overlap_len=30, edge_threshold=0.9, cliques=False, fno=1,
+        first_it=True, keep_singletons=0, remove_trans=1, remove_tips=False,
+        backend="numpy", min_clique_size=2, optimize=False,
+        original_readcount=len(store),
+    )
+    results = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("HC_FNO_BATCH", mode)
+        res = run_iteration(store, ov, s)
+        results[mode] = (list(res.overlap_lines), len(res.store),
+                         [decode_seq(res.store.unit_codes(res.store.units_of(i)[0]))
+                          for i in range(len(res.store))])
+    assert results["0"][0] == results["1"][0]
+    assert results["0"][1] == results["1"][1]
+    assert results["0"][2] == results["1"][2]
