@@ -561,6 +561,13 @@ class FNO1:
         if not lists:
             return
         arr = np.array([row for el in lists for row in el], dtype=rows_dtype())
+        # compact per-column views: indexing these for millions of triu
+        # pairs avoids gathering full ~60B struct rows per pair
+        cv1 = arr["v1"].astype(np.int64)
+        cv2 = arr["v2"].astype(np.int64)
+        cpos1 = arr["pos1"].astype(np.int64)
+        cori1 = arr["ori1"].copy()
+        cori2 = arr["ori2"].copy()
         sizes = np.fromiter((len(el) for el in lists), np.int64,
                             count=len(lists))
         starts = np.cumsum(sizes) - sizes
@@ -569,18 +576,19 @@ class FNO1:
         def process_chunk(i_parts, j_parts):
             i_idx = np.concatenate(i_parts)
             j_idx = np.concatenate(j_parts)
-            e1, e2 = arr[i_idx], arr[j_idx]
-            case1 = (e1["v1"] != e2["v1"]) & (e1["v1"] == e2["v2"])
-            case2 = (e1["v1"] != e2["v1"]) & ~case1 & (e1["v2"] == e2["v1"])
-            n1 = np.where(case1, e2["v1"], e1["v1"]).astype(np.int64)
-            n2 = np.where(case1, e1["v2"], e2["v2"]).astype(np.int64)
+            e1v1, e1v2 = cv1[i_idx], cv2[i_idx]
+            e2v1, e2v2 = cv1[j_idx], cv2[j_idx]
+            case1 = (e1v1 != e2v1) & (e1v1 == e2v2)
+            case2 = (e1v1 != e2v1) & ~case1 & (e1v2 == e2v1)
+            n1 = np.where(case1, e2v1, e1v1)
+            n2 = np.where(case1, e1v2, e2v2)
             okm = (case1 | case2) & ~paired[n1] & ~paired[n2]
             idxs = np.flatnonzero(okm)
             if len(idxs) == 0:
                 return
-            pos1 = np.where(case1, e2["pos1"], e1["pos1"]).astype(np.int64)
-            ori1 = np.where(case1, e2["ori1"], e1["ori1"])
-            ori2 = np.where(case1, e1["ori2"], e2["ori2"])
+            pos1 = np.where(case1, cpos1[j_idx], cpos1[i_idx])
+            ori1 = np.where(case1, cori1[j_idx], cori1[i_idx])
+            ori2 = np.where(case1, cori2[i_idx], cori2[j_idx])
             # drop candidates whose endpoints already share an edge
             # (either direction), vectorized against the sorted key table
             ka = n1[idxs]
