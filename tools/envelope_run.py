@@ -156,10 +156,13 @@ def polyte_envelope(genome_len=120000, hap_cov=15, read_len=250):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     ckpt = None
+    genome = None
     for a in sys.argv[2:]:
         if a.startswith("--ckpt="):
             ckpt = a.split("=", 1)[1]
+        if a.startswith("--genome="):
+            genome = int(a.split("=", 1)[1])
     if which in ("savage", "both"):
         savage_envelope(ckpt_dir=ckpt)
     if which in ("polyte", "both"):
-        polyte_envelope()
+        polyte_envelope(**({"genome_len": genome} if genome else {}))
