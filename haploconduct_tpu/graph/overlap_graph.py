@@ -230,11 +230,11 @@ class OverlapGraph:
 
         if self.s.ignore_inclusions:
             # first candidate per group in input order decides marking
-            vmin = np.minimum(cand["v1"], cand["v2"])
-            vmax = np.maximum(cand["v1"], cand["v2"])
-            parity = (cand["ori1"] == cand["ori2"]).astype(np.int8)
-            keys = np.stack([vmin, vmax, parity.astype(np.uint64)], axis=1)
-            _, first_idx = np.unique(keys, axis=0, return_index=True)
+            vmin = np.minimum(cand["v1"], cand["v2"]).astype(np.int64)
+            vmax = np.maximum(cand["v1"], cand["v2"]).astype(np.int64)
+            parity = (cand["ori1"] == cand["ori2"]).astype(np.int64)
+            keys = (vmin << 32) | (vmax << 1) | parity
+            _, first_idx = np.unique(keys, return_index=True)
             f = cand[np.sort(first_idx)]
             mark = (f["perc"] == 100) & (f["mismatch_rate"] < 1e-6) & (f["mismatch_rate"] >= 0)
             mark_v1 = mark & (f["pos3"] < 0) & (f["pos1"] == 0)
@@ -363,6 +363,8 @@ class OverlapGraph:
         v1, v2 = self.edge_endpoints()
         if len(v1) == 0:
             return
-        pairs = np.stack([v1, v2], axis=1)
-        uniq = np.unique(pairs, axis=0)
-        assert len(uniq) == len(pairs), "duplicate edges in overlap graph"
+        # packed 1-d keys: np.unique(..., axis=0) row-sorts through void
+        # views and was an 8s/stage sweep at envelope patch scale
+        key = (v1.astype(np.int64) << 32) | v2.astype(np.int64)
+        uniq = np.unique(key)
+        assert len(uniq) == len(key), "duplicate edges in overlap graph"
