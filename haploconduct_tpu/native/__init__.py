@@ -301,3 +301,42 @@ def load_cliques_ext() -> Optional[_CliquesExt]:
         _cliques_failed = True
         _cliques_ext = None
     return _cliques_ext
+
+
+class _TransitiveExt:
+    def __init__(self, module):
+        self._m = module
+
+    def transitive_mask(self, out_ptr, out_idx, in_ptr, in_idx, q1, q2):
+        """mask[i] = 1 iff a 2-path q1[i] -> x -> q2[i] exists; CSR
+        adjacency lists must be sorted."""
+        mask_b = self._m.transitive_mask(
+            np.ascontiguousarray(out_ptr, dtype=np.int64),
+            np.ascontiguousarray(out_idx, dtype=np.int64),
+            np.ascontiguousarray(in_ptr, dtype=np.int64),
+            np.ascontiguousarray(in_idx, dtype=np.int64),
+            np.ascontiguousarray(q1, dtype=np.int64),
+            np.ascontiguousarray(q2, dtype=np.int64), len(q1))
+        return np.frombuffer(mask_b, dtype=np.uint8).astype(bool)
+
+
+_transitive_ext: Optional[_TransitiveExt] = None
+_transitive_failed = False
+
+
+def load_transitive_ext() -> Optional[_TransitiveExt]:
+    global _transitive_ext, _transitive_failed
+    if _transitive_ext is not None or _transitive_failed:
+        return _transitive_ext
+    try:
+        import importlib.util
+
+        so_path = _build_ext("transitive", ["transitive.cpp"])
+        spec = importlib.util.spec_from_file_location("_transitive", so_path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        _transitive_ext = _TransitiveExt(module)
+    except Exception:
+        _transitive_failed = True
+        _transitive_ext = None
+    return _transitive_ext
