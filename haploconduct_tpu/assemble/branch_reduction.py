@@ -251,7 +251,12 @@ class BranchReduction:
             # positions, with at least one covered); measured crossover
             # ~2k originals/contig (BASELINE.md branch-reduction rows).
             d2 = self._originals_of(node2)
-            if len(d2) < 2048 or len(dp_arr) == 0:
+            if len(dp_arr) == 0:
+                # empty diff list: check_read_evidence is False for every
+                # candidate — skip the per-candidate read-code decodes
+                evidence_per_neighbor[node2] = []
+                continue
+            if len(d2) < 2048:
                 evidence: List[int] = []
                 for subread_id, oi in d2.items():
                     in1s = subread_id in subreads1

@@ -16,6 +16,7 @@ in candidate order.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
@@ -159,6 +160,9 @@ class FNO1:
         self.g = builder.g
         self.store = builder.store
         self.s = builder.s
+        # HC_FNO_BATCH=0 forces the scalar sweep (A/B oracle); read once —
+        # the batch path is called once per 4M-pair chunk in hot loops
+        self._force_scalar = os.environ.get("HC_FNO_BATCH") == "0"
         self.lines: Set[str] = set()
         self.found: Set[int] = set()  # packed (lo<<32|hi) pair keys
         self._tbl: Optional[dict] = None
@@ -347,9 +351,7 @@ class FNO1:
     def _update_overlaps_batch(self, rows: np.ndarray) -> None:
         if len(rows) == 0:
             return
-        import os as _os
-
-        if _os.environ.get("HC_FNO_BATCH") == "0":
+        if self._force_scalar:
             for erow in rows:
                 self._update_overlap(erow)
             return
@@ -447,6 +449,11 @@ class FNO1:
         cap = len(gid) - 1
         suc = np.minimum(ptr[nu] + iu, cap)
         svc = np.minimum(ptr[nv] + iv, cap)
+        # an unvisited endpoint MUST have a new id: -1 (the fill value)
+        # would corrupt the packed pair key via sign bits, where the
+        # scalar path raised KeyError for the same state
+        assert (newid[nu[~vu]] >= 0).all() and (newid[nv[~vv]] >= 0).all(), \
+            "unvisited node missing from nodes_to_new_ids"
         idU = np.where(vu, gid[suc], newid[nu])
         ilU = np.where(vu, gil[suc], 0)
         l1U = np.where(vu, gl1[suc], rlen[nu])

@@ -229,9 +229,14 @@ class OverlapGraph:
         self.dup_count += len(cand) - len(winners)
 
         if self.s.ignore_inclusions:
-            # first candidate per group in input order decides marking
+            # first candidate per group in input order decides marking.
+            # Packed keys here (and in fno.py / check_no_duplicate_edges)
+            # assume node ids < 2^31 so vmax<<1 cannot spill into the vmin
+            # field; largest real workloads are ~10^6 vertices.
             vmin = np.minimum(cand["v1"], cand["v2"]).astype(np.int64)
             vmax = np.maximum(cand["v1"], cand["v2"]).astype(np.int64)
+            assert len(vmax) == 0 or vmax.max() < (1 << 31), \
+                "packed dedup keys require node ids < 2^31"
             parity = (cand["ori1"] == cand["ori2"]).astype(np.int64)
             keys = (vmin << 32) | (vmax << 1) | parity
             _, first_idx = np.unique(keys, return_index=True)

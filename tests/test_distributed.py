@@ -54,6 +54,29 @@ def _free_port() -> int:
     return port
 
 
+def _run_two_process(worker_path, outs, attempts=2):
+    """Launch the 2-process group; retry once with a fresh coordinator port
+    — under full-suite CPU contention the jax.distributed handshake can
+    time out or the freed port can be re-taken before the workers bind."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one CPU device per process
+    last_err = b""
+    for _ in range(attempts):
+        coord = f"127.0.0.1:{_free_port()}"
+        procs = [subprocess.Popen(
+            [sys.executable, worker_path, coord, str(pid), outs[pid]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            for pid in range(2)]
+        errs = []
+        for p in procs:
+            _, err = p.communicate(timeout=600)
+            errs.append(err)
+        if all(p.returncode == 0 for p in procs):
+            return
+        last_err = b"\n".join(errs)
+    raise AssertionError(last_err.decode()[-3000:])
+
+
 # Worker for the sharded-scorer test: a REAL 2-process global mesh (one CPU
 # device per process) pushed through verify_overlaps — which must route to
 # parallel/mesh.py:sharded_score_tasks, exercising the multi-host global-
@@ -129,18 +152,8 @@ def test_two_process_global_mesh_scorer_and_stage(tmp_path):
     oracle, identical across processes."""
     worker = tmp_path / "scorer_worker.py"
     worker.write_text(SCORER_WORKER)
-    coord = f"127.0.0.1:{_free_port()}"
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # one CPU device per process
-    procs = []
     outs = [str(tmp_path / f"scontigs{i}.txt") for i in range(2)]
-    for pid in range(2):
-        procs.append(subprocess.Popen(
-            [sys.executable, str(worker), coord, str(pid), outs[pid]],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
-    for p in procs:
-        _, err = p.communicate(timeout=600)
-        assert p.returncode == 0, err.decode()[-3000:]
+    _run_two_process(str(worker), outs)
     with open(outs[0]) as f:
         recs0 = f.read()
     with open(outs[1]) as f:
@@ -151,18 +164,8 @@ def test_two_process_global_mesh_scorer_and_stage(tmp_path):
 def test_two_process_savage_matches_single(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
-    coord = f"127.0.0.1:{_free_port()}"
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # no virtual device split inside workers
-    procs = []
     outs = [str(tmp_path / f"out{i}.txt") for i in range(2)]
-    for pid in range(2):
-        procs.append(subprocess.Popen(
-            [sys.executable, str(worker), coord, str(pid), outs[pid]],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
-    for p in procs:
-        _, err = p.communicate(timeout=600)
-        assert p.returncode == 0, err.decode()[-2000:]
+    _run_two_process(str(worker), outs)
 
     with open(outs[0]) as f:
         recs0 = f.read()

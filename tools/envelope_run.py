@@ -38,13 +38,48 @@ def make_store(seqs, quals):
     return store
 
 
+def quality_metrics(contigs, haplotypes, min_contig_len=0, snps=False):
+    """Score an assembly against its known simulated haplotypes with the
+    package's own evaluator (workflows/evaluate.py): NGA50, genome
+    fraction, misassemblies, mismatch rate — the QUAST-style columns the
+    reference's customized_metaquast.py would produce."""
+    from haploconduct_tpu.workflows.evaluate import (
+        evaluate_assembly, polymorphic_position_accuracy)
+
+    m = evaluate_assembly(contigs, haplotypes, min_contig_len=min_contig_len)
+    out = {
+        "n_contigs": m.n_contigs,
+        "total_bp": m.total_length,
+        "largest": m.largest,
+        "n50": m.n50,
+        "nga50": m.nga50,
+        "genome_fraction": round(m.genome_fraction, 4),
+        "mismatch_rate": round(m.mismatch_rate, 6),
+        "duplication_ratio": round(m.duplication_ratio, 3),
+        "misassemblies": m.misassemblies,
+        "unaligned_contigs": m.unaligned_contigs,
+    }
+    if snps:
+        rec, tot = polymorphic_position_accuracy(contigs, haplotypes)
+        out["snps_recovered"] = rec
+        out["snps_total"] = tot
+    return out
+
+
 def savage_envelope(genome_len=10000, total_cov=10000, split_num=15,
                     read_len=150, n_haps=4, divergence=0.03,
-                    ckpt_dir=None):
+                    ckpt_dir=None, real_genome=None):
     from haploconduct_tpu.workflows.savage import SavageConfig, run_savage
 
     rng = np.random.default_rng(0)
-    genome = random_genome(rng, genome_len)
+    if real_genome is not None:
+        # real sequence structure (e.g. HIV-1 HXB2 with its LTR repeats)
+        # instead of a repeat-free uniform-random genome — quality numbers
+        # on random genomes are the best case for overlap assembly
+        genome = real_genome
+        genome_len = len(genome)
+    else:
+        genome = random_genome(rng, genome_len)
     # a quasispecies-like strain mix: n_haps haplotypes each ~divergence
     # from the master (pairwise ~2*divergence) — the regime of the
     # reference's HIV lab-mix benchmarks (savage/README.md:292-310's
@@ -75,7 +110,8 @@ def savage_envelope(genome_len=10000, total_cov=10000, split_num=15,
     wall = time.time() - t0
     ids_c, contigs_c = res.contigs("c")
     out = {
-        "metric": "savage 10000x-coverage patched end-to-end",
+        "metric": ("savage 10000x-coverage patched end-to-end"
+                   + (" (real HIV-1 genome)" if real_genome else "")),
         "genome_len": genome_len,
         "n_reads": len(store),
         "total_coverage": total_cov,
@@ -87,6 +123,15 @@ def savage_envelope(genome_len=10000, total_cov=10000, split_num=15,
         "longest_contig": max((len(c) for c in contigs_c), default=0),
         "unit": "s",
     }
+    # quality vs the known simulated haplotypes (VERDICT r4 task 2)
+    for stage in ("a", "b", "c"):
+        try:
+            _, contigs = res.contigs(stage)
+        except Exception:
+            continue
+        if contigs:
+            out[f"stage_{stage}_quality"] = quality_metrics(
+                contigs, haps, snps=(stage == "c"))
     print(json.dumps(out))
     return out
 
@@ -149,8 +194,23 @@ def polyte_envelope(genome_len=120000, hap_cov=15, read_len=250):
         "final_ref_candidates": res.final_ref_candidates,
         "unit": "s",
     }
+    from haploconduct_tpu.core.reads import decode_seq
+
+    contigs = [decode_seq(final.unit_codes(final.unit1[i]))
+               for i in range(len(final))]
+    if contigs:
+        out["quality"] = quality_metrics(contigs, [genome, hap2])
     print(json.dumps(out))
     return out
+
+
+def load_hiv_genome():
+    """The bundled real HIV-1 HXB2 reference (savage/example/hiv-ref.fasta) —
+    a real ~9.7kb genome with LTR repeat structure."""
+    from haploconduct_tpu.io.fastq import read_fasta
+
+    _, seqs = read_fasta("/root/reference/savage/example/hiv-ref.fasta")
+    return seqs[0].upper().replace("N", "A")
 
 
 if __name__ == "__main__":
@@ -164,5 +224,7 @@ if __name__ == "__main__":
             genome = int(a.split("=", 1)[1])
     if which in ("savage", "both"):
         savage_envelope(ckpt_dir=ckpt)
+    if which == "savage-hiv":
+        savage_envelope(ckpt_dir=ckpt, real_genome=load_hiv_genome())
     if which in ("polyte", "both"):
         polyte_envelope(**({"genome_len": genome} if genome else {}))
