@@ -15,7 +15,6 @@ in candidate order.
 
 from __future__ import annotations
 
-import math
 import os
 from typing import Dict, List, Optional, Set, Tuple
 
@@ -26,6 +25,24 @@ from ..graph.overlap_graph import OverlapGraph
 from ..io.overlaps import OVERLAP_DTYPE, empty_overlaps
 from ..utils.config import Settings
 from .superreads import Superread, SuperreadBuilder
+
+
+_F100 = np.float32(100)
+
+
+def _perc_f32(ov: int, la: int, lb: Optional[int] = None) -> int:
+    """floor(max(ov/float(la), ov/float(lb)) * 100) in FLOAT32 — exactly
+    how the reference computes induced-overlap percentages
+    (FindNextOverlaps.cpp:375,429,487,549; FindNextOverlaps3.cpp:226-361).
+    The divisions AND the *100 product are single precision, which rounds
+    differently from f64 near integer boundaries: 87/150*100 = 58.0 in
+    f32 but 57.999... in f64. Latent until envelope-patch parity (44k
+    reads) exposed perc 57-vs-58 diffs in induced overlaps."""
+    ovf = np.float32(ov)
+    m = ovf / np.float32(la)
+    if lb is not None:
+        m = max(m, ovf / np.float32(lb))
+    return int(np.floor(m * _F100))
 
 
 def _find_clique_index(sr: Superread, node: int, leftside: bool, second_occ: bool) -> int:
@@ -54,7 +71,7 @@ def _compute_overlap_data(sr1, sr2, idx1l, idx1r, idx2l, idx2r,
             ord1, ln = "1", a1
         ov_len1 = min(ln - new_pos1, a1, b1)
         ov_len2 = 0
-        perc = int(math.floor(max(ov_len1 / float(a1), ov_len1 / float(b1)) * 100))
+        perc = _perc_f32(ov_len1, a1, b1)
         if new_pos1 >= ln:
             return None
         return dict(pos1=new_pos1, pos2=0, ord1=ord1, ord2="-", type1="s", type2="s",
@@ -80,7 +97,7 @@ def _compute_overlap_data(sr1, sr2, idx1l, idx1r, idx2l, idx2r,
             return None
         ov_len2 = min(b1 - new_pos2, a2)
         total = ov_len1 + ov_len2
-        perc = min(int(math.floor(max(total / float(len_a), total / float(len_b)) * 100)), 100)
+        perc = min(_perc_f32(total, len_a, len_b), 100)
         return dict(pos1=new_pos1, pos2=new_pos2, ord1=ord1, ord2="-", type1="p", type2="s",
                     perc=perc, len1=ov_len1, len2=ov_len2)
     if not p1 and p2:  # S-P
@@ -104,7 +121,7 @@ def _compute_overlap_data(sr1, sr2, idx1l, idx1r, idx2l, idx2r,
             return None
         ov_len2 = min(a1 - new_pos2, b2)
         total = ov_len1 + ov_len2
-        perc = min(int(math.floor(max(total / float(len_a), total / float(len_b)) * 100)), 100)
+        perc = min(_perc_f32(total, len_a, len_b), 100)
         return dict(pos1=new_pos1, pos2=new_pos2, ord1=ord1, ord2="-", type1="s", type2="p",
                     perc=perc, len1=ov_len1, len2=ov_len2)
     # P-P
@@ -136,7 +153,7 @@ def _compute_overlap_data(sr1, sr2, idx1l, idx1r, idx2l, idx2r,
         ov_len2 = min(a2 - new_pos2, b2)
     total = ov_len1 + ov_len2
     total_a, total_b = a1 + a2, b1 + b2
-    perc = min(int(math.floor(max(total / float(total_a), total / float(total_b)) * 100)), 100)
+    perc = min(_perc_f32(total, total_a, total_b), 100)
     return dict(pos1=new_pos1, pos2=new_pos2, ord1=ord1, ord2=ord2, type1="p", type2="p",
                 perc=perc, len1=ov_len1, len2=ov_len2)
 
@@ -466,9 +483,14 @@ class FNO1:
         np1a = np.where(neg, -np1, np1)
         ln = np.where(neg, l1V, l1U)
         ov1 = np.minimum(np.minimum(ln - np1a, l1U), l1V)
+        # f32 like the reference (see _perc_f32): divisions and *100 in
+        # single precision
+        ovf = ov1.astype(np.float32)
         with np.errstate(divide="ignore", invalid="ignore"):
             perc = np.floor(
-                np.maximum(ov1 / l1U, ov1 / l1V) * 100).astype(np.int64)
+                np.maximum(ovf / l1U.astype(np.float32),
+                           ovf / l1V.astype(np.float32)) * _F100
+            ).astype(np.int64)
         valid = np1a < ln
 
         cand = ~(vu & vv & (idU == idV))
@@ -710,7 +732,7 @@ def _deduce_overlap(sr1: Superread, sr2: Superread, orig_id: int, s: Settings) -
             len1 = min(la, lb - pos1)
         if len1 <= 0:
             return None
-        perc1 = int(math.floor(max(len1 / float(la), len1 / float(lb)) * 100))
+        perc1 = _perc_f32(len1, la, lb)
         if s.no_inclusions and perc1 == 100:
             return None
         return f"{id1}\t{id2}\t{pos1}\t0\t-\t+\t+\t{perc1}\t0\t{len1}\t0\ts\ts"
@@ -731,12 +753,12 @@ def _deduce_overlap(sr1: Superread, sr2: Superread, orig_id: int, s: Settings) -
             t1, t2 = "s", "p"
         if len1 <= 0:
             return None
-        perc1 = int(math.floor(len1 / float(la1) * 100))
+        perc1 = _perc_f32(len1, la1)
         pos2 = idx2r - idx1r
         len2 = min(la2, lb - pos2)
         if len2 <= 0 or pos2 < 0:
             return None
-        perc2 = int(math.floor(len2 / float(la2) * 100))
+        perc2 = _perc_f32(len2, la2)
         full_perc = int(0.5 * (perc1 + perc2)) if perc2 > 0 else perc1
         if s.no_inclusions and full_perc == 100:
             return None
@@ -758,12 +780,12 @@ def _deduce_overlap(sr1: Superread, sr2: Superread, orig_id: int, s: Settings) -
             t1, t2 = "p", "s"
         if len1 <= 0:
             return None
-        perc1 = int(math.floor(len1 / float(lb1) * 100))
+        perc1 = _perc_f32(len1, lb1)
         pos2 = idx1r - idx2r
         len2 = min(lb2, la - pos2)
         if len2 <= 0 or pos2 < 0:
             return None
-        perc2 = int(math.floor(len2 / float(lb2) * 100))
+        perc2 = _perc_f32(len2, lb2)
         full_perc = int(0.5 * (perc1 + perc2)) if perc2 > 0 else perc1
         if s.no_inclusions and full_perc == 100:
             return None
@@ -793,8 +815,8 @@ def _deduce_overlap(sr1: Superread, sr2: Superread, orig_id: int, s: Settings) -
         back_ord = False
     if len1 <= 0 or len2 <= 0:
         return None
-    perc1 = int(math.floor(max(len1 / float(la), len1 / float(lb)) * 100))
-    perc2 = int(math.floor(max(len2 / float(lc), len2 / float(ld)) * 100))
+    perc1 = _perc_f32(len1, la, lb)
+    perc2 = _perc_f32(len2, lc, ld)
     ordc = "1" if front_ord == back_ord else "2"
     full_perc = int(0.5 * (perc1 + perc2)) if perc2 > 0 else perc1
     if s.no_inclusions and full_perc == 100:

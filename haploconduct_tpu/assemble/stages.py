@@ -49,7 +49,7 @@ class StageParams:
     max_tip_len: int = 150
     clique_size_EC: int = 4
     original_readcount: int = 0
-    backend: str = "jax"
+    backend: str = "auto"
     verbose: bool = False
     output_dir: str = ""  # when set, per-iteration logs/stats/GFA land here
     dump_dir: str = ""  # when set, snapshot itN_{fastq,overlaps,subreads} there

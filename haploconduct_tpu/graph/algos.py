@@ -10,6 +10,7 @@ are reproducible and match a glibc/libstdc++ build of the reference.
 
 from __future__ import annotations
 
+import os
 from typing import List, Set, Tuple
 
 import numpy as np
@@ -72,6 +73,16 @@ class ShufflePerms:
         self._rands: List[int] = []
         self._perms: dict = {0: [], 1: [0]}
         self._perms_np: dict = {}
+        self._rands_np: "np.ndarray | None" = None
+
+    def rands_np(self, n: int) -> np.ndarray:
+        """First n values of the seed's glibc rand() stream (the shared
+        stream all perm() lengths draw from), as an int64 array."""
+        while len(self._rands) < n:
+            self._rands.append(self._rng.rand())
+        if self._rands_np is None or len(self._rands_np) < n:
+            self._rands_np = np.asarray(self._rands, dtype=np.int64)
+        return self._rands_np
 
     def perm(self, n: int) -> List[int]:
         p = self._perms.get(n)
@@ -179,6 +190,7 @@ class _LabelCtx:
         self.start = start
         self.merged_nb = merged_nb
         self.merged_sm = merged_sm
+        self.maxdeg = int(deg.max()) if n else 0
         self.order = [int(v) for v in sort_vertices_by_indegree(g)]
 
         # classification scan: alive edges in (source vertex, adjacency
@@ -195,10 +207,26 @@ class _LabelCtx:
             starts, visited: np.ndarray, comp: "np.ndarray | None" = None):
         """BFS labelling over the given start nodes (component roots or the
         full indegree order); writes orientations/visited in place. With
-        `comp`, records the start index that discovered each node."""
+        `comp`, records the start index that discovered each node.
+
+        Native path (native/bfslabel.cpp): the identical traversal with the
+        per-node shuffle permutation rebuilt from the seed's glibc rand()
+        stream — byte-for-byte the ShufflePerms order. HC_NATIVE_BFS=0
+        forces this Python sweep (A/B oracle)."""
         from collections import deque
 
         sp = _shuffle_perms(rand_seed)
+        if os.environ.get("HC_NATIVE_BFS") != "0":
+            from ..native import load_bfslabel_ext
+
+            ext = load_bfslabel_ext()
+            if ext is not None:
+                rands = sp.rands_np(max(self.maxdeg - 1, 0))
+                ext.bfs_label(self.start, self.merged_nb, self.merged_sm,
+                              rands,
+                              np.asarray(starts, dtype=np.int64),
+                              orientations, visited, comp, self.maxdeg)
+                return
         start_arr = self.start
         merged_nb = self.merged_nb
         merged_sm = self.merged_sm
@@ -480,10 +508,25 @@ def remove_transitive_edges(g: OverlapGraph) -> None:
                     b = np.repeat(side_nodes, cnt)[keep]
                 to_delete.update(zip(a.tolist(), b.tolist()))
 
-    g.remove_edge_ids(alive_idx[trans])
-    for v, w in sorted(to_delete):
-        if g.check_edge(v, w, reverse_allowed=False) >= 0:
-            g.remove_edge(v, w)
+    # match surviving branch-prune pairs to edge ids in one sorted lookup
+    # ((v, w) keys are unique — check_no_duplicate_edges invariant), then
+    # remove everything in one bulk pass; equivalent to the former
+    # per-pair check_edge/remove_edge loop since key lookups are
+    # order-independent
+    del_ids = alive_idx[trans]
+    if to_delete:
+        rem_idx = alive_idx[~trans]
+        rk = (v1[~trans] << 32) | v2[~trans]
+        order = np.argsort(rk)
+        rk_sorted = rk[order]
+        pairs = np.asarray(sorted(to_delete), dtype=np.int64)
+        pk = (pairs[:, 0] << 32) | pairs[:, 1]
+        pos = np.searchsorted(rk_sorted, pk)
+        posc = np.minimum(pos, max(len(rk_sorted) - 1, 0))
+        found = (pos < len(rk_sorted)) & (rk_sorted[posc] == pk) \
+            if len(rk_sorted) else np.zeros(len(pk), dtype=bool)
+        del_ids = np.concatenate([del_ids, rem_idx[order[posc[found]]]])
+    g.remove_edge_ids(del_ids)
 
 
 # --------------------------------------------------------------------------
@@ -681,15 +724,11 @@ def remove_branches(g: OverlapGraph) -> None:
 
     a = csr_matrix((np.ones(len(bv1)), (bv1, bv2)), shape=(g.n, g.n))
     _, comp = connected_components(a, directed=False)
-    # remove all original edges crossing components
-    cross = comp[v1] != comp[v2]
-    for k in np.flatnonzero(cross):
-        e = alive_idx[k]
-        edge = g.edges[e].copy()
-        g.adj_out[int(rows["v1"][e])].remove(e)
-        g.adj_in[int(rows["v2"][e])].remove(e)
-        g.alive[e] = False
-        g.branching_edges.append(edge)
+    # remove all original edges crossing components (bulk; branching_edges
+    # keeps the ascending-edge-id order of the former per-edge loop)
+    cross_ids = alive_idx[comp[v1] != comp[v2]]
+    g.branching_edges.extend(rows[e].copy() for e in cross_ids)
+    g.remove_edge_ids(cross_ids)
 
 
 def reduce_diploid_branching(g: OverlapGraph) -> None:

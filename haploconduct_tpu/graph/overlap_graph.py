@@ -28,6 +28,17 @@ from ..ops.verify import EDGE_DTYPE
 from ..utils.config import Settings
 
 
+def _f64_order_key(arr: np.ndarray) -> np.ndarray:
+    """uint64 keys whose unsigned order equals the float64 value order
+    (IEEE total-order transform: flip the sign bit for non-negatives, all
+    bits for negatives). Lets float tie-break keys ride a packed lexsort."""
+    u = np.ascontiguousarray(arr, dtype=np.float64).view(np.uint64)
+    mask = np.where(u >> np.uint64(63),
+                    np.uint64(0xFFFFFFFFFFFFFFFF),
+                    np.uint64(0x8000000000000000))
+    return u ^ mask
+
+
 def edge_sort_winners(cand: np.ndarray) -> np.ndarray:
     """Return indices of the winning candidate per duplicate group.
 
@@ -35,35 +46,34 @@ def edge_sort_winners(cand: np.ndarray) -> np.ndarray:
     max of (score desc, total overlap len desc, mismatch_rate asc,
     v1 asc, ori1=True first, ori2=True first, pos1 asc, pos2 asc)
     mirroring src/EdgeCalculator.cpp:470-520.
+
+    The 11 logical keys are packed into 6 lexsort keys (ints share words;
+    floats use the order-preserving bit transform) — the raw 11-key
+    lexsort was ~6s per 44k-read envelope patch.
     """
     if len(cand) == 0:
         return np.zeros(0, dtype=np.int64)
-    vmin = np.minimum(cand["v1"], cand["v2"])
-    vmax = np.maximum(cand["v1"], cand["v2"])
+    vmin = np.minimum(cand["v1"], cand["v2"]).astype(np.int64)
+    vmax = np.maximum(cand["v1"], cand["v2"]).astype(np.int64)
+    assert vmax.max() < (1 << 31), "packed keys require node ids < 2^31"
     parity = cand["ori1"] == cand["ori2"]
     len0 = cand["len1"].astype(np.int64) + cand["len2"].astype(np.int64)
-    # np.lexsort: last key is primary; all keys ascending -> encode "desc"
-    # by negation. Winner should come FIRST in its group after the sort.
-    order = np.lexsort(
-        (
-            cand["pos2"],
-            cand["pos1"],
-            ~cand["ori2"],
-            ~cand["ori1"],
-            cand["v1"],
-            cand["mismatch_rate"],
-            -len0,
-            -cand["score"],
-            parity.astype(np.int8),
-            vmax,
-            vmin,
-        )
-    )
-    g_vmin, g_vmax, g_par = vmin[order], vmax[order], parity[order]
+    group = (vmin << 32) | (vmax << 1) | parity
+    score_key = ~_f64_order_key(cand["score"])  # desc
+    mism_key = _f64_order_key(cand["mismatch_rate"])  # asc
+    # v1 asc, then ori1/ori2 True-first: 31+1+1 bits
+    vo = ((cand["v1"].astype(np.int64) << 2)
+          | ((~cand["ori1"]).astype(np.int64) << 1)
+          | (~cand["ori2"]).astype(np.int64))
+    # pos1 asc then pos2 asc: pos1 < 2^31 and |pos2| < 2^31, so the sum
+    # orders identically to the (pos1, pos2) pair
+    pos_key = ((cand["pos1"].astype(np.int64) << 32)
+               + cand["pos2"].astype(np.int64))
+    # np.lexsort: last key is primary. Winner FIRST in its group.
+    order = np.lexsort((pos_key, vo, mism_key, -len0, score_key, group))
+    g_sorted = group[order]
     first_of_group = np.ones(len(order), dtype=bool)
-    first_of_group[1:] = (
-        (g_vmin[1:] != g_vmin[:-1]) | (g_vmax[1:] != g_vmax[:-1]) | (g_par[1:] != g_par[:-1])
-    )
+    first_of_group[1:] = g_sorted[1:] != g_sorted[:-1]
     return order[first_of_group]
 
 
@@ -158,11 +168,34 @@ class OverlapGraph:
 
     def remove_edge_ids(self, ids) -> None:
         """Bulk-remove edges by id; touched adjacency lists are filtered
-        once (preserving order) instead of per-edge list.remove scans."""
-        id_set = {int(e) for e in ids}
-        if not id_set:
+        once (preserving order) instead of per-edge list.remove scans.
+
+        Large removals (transitive reduction can kill most of the graph —
+        the reference has a >50%-edges rebuild fast path for exactly this,
+        src/GraphAlgos.cpp:995-1062) rebuild BOTH adjacency structures from
+        flat arrays: flatten in list order, mask by alive, regroup — order-
+        preserving and free of per-entry Python set probes."""
+        arr = np.unique(np.asarray(
+            ids if not isinstance(ids, set) else list(ids), dtype=np.int64))
+        if len(arr) == 0:
             return
-        arr = np.fromiter(id_set, dtype=np.int64, count=len(id_set))
+        if 4 * len(arr) > self.edge_count:
+            self.alive[arr] = False
+            n = self.n
+            for name in ("adj_out", "adj_in"):
+                adj = getattr(self, name)
+                counts = np.fromiter((len(l) for l in adj), np.int64, count=n)
+                total = int(counts.sum())
+                flat = np.fromiter((e for l in adj for e in l), np.int64,
+                                   count=total)
+                keep = self.alive[flat]
+                v_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+                kept = flat[keep]
+                cuts = np.cumsum(np.bincount(v_of[keep], minlength=n))[:-1]
+                setattr(self, name,
+                        [lst.tolist() for lst in np.split(kept, cuts)])
+            return
+        id_set = set(arr.tolist())
         touched_out = np.unique(self.edges["v1"][arr])
         touched_in = np.unique(self.edges["v2"][arr])
         self.alive[arr] = False

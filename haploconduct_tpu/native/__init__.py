@@ -320,6 +320,50 @@ class _TransitiveExt:
         return np.frombuffer(mask_b, dtype=np.uint8).astype(bool)
 
 
+class _BfsLabelExt:
+    def __init__(self, module):
+        self._m = module
+
+    def bfs_label(self, start_ptr, merged_nb, merged_sm, rands, starts,
+                  orientations, visited, comp, maxdeg):
+        """Seeded-shuffle BFS labelling; orientations/visited/comp are
+        written IN PLACE (must be contiguous bool/bool/int64 arrays).
+        `comp` may be None (component recording disabled)."""
+        n = len(orientations)
+        use_comp = comp is not None
+        if comp is None:
+            comp = _DUMMY_COMP
+        self._m.bfs_label(
+            np.ascontiguousarray(start_ptr, dtype=np.int64),
+            np.ascontiguousarray(merged_nb, dtype=np.int64),
+            merged_sm, rands,
+            np.ascontiguousarray(starts, dtype=np.int64),
+            orientations, visited, comp, int(use_comp), n, int(maxdeg))
+
+
+_DUMMY_COMP = np.zeros(1, dtype=np.int64)
+_bfslabel_ext: Optional[_BfsLabelExt] = None
+_bfslabel_failed = False
+
+
+def load_bfslabel_ext() -> Optional[_BfsLabelExt]:
+    global _bfslabel_ext, _bfslabel_failed
+    if _bfslabel_ext is not None or _bfslabel_failed:
+        return _bfslabel_ext
+    try:
+        import importlib.util
+
+        so_path = _build_ext("bfslabel", ["bfslabel.cpp"])
+        spec = importlib.util.spec_from_file_location("_bfslabel", so_path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        _bfslabel_ext = _BfsLabelExt(module)
+    except Exception:
+        _bfslabel_failed = True
+        _bfslabel_ext = None
+    return _bfslabel_ext
+
+
 _transitive_ext: Optional[_TransitiveExt] = None
 _transitive_failed = False
 

@@ -150,7 +150,7 @@ def estimate_abundance(
     fragment_len: float = 200.0,
     k: int = 31,
     em_iters: int = 500,
-    backend: str = "jax",
+    backend: str = "auto",
 ) -> AbundanceResult:
     """Pseudo-align `read_seqs` against the contig panel and EM-estimate
     per-contig counts and TPM."""
@@ -177,6 +177,10 @@ def estimate_abundance(
             membership[c, t] = 1.0
     counts = np.array([class_counts[c] for c in classes], dtype=np.float64)
 
+    if backend == "auto":
+        from .autoback import resolve_backend
+
+        backend = resolve_backend()
     if backend == "jax":
         alpha = _em_device(membership, counts, eff_len, em_iters)
     else:

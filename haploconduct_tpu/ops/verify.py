@@ -312,6 +312,10 @@ def verify_overlaps(
       individually far from a threshold can average to within f32 error
       of it, which a per-task recheck alone would miss.
     """
+    if s.backend == "auto":
+        from .autoback import resolve_backend
+
+        s = s.derive(backend=resolve_backend())
     plan, meta = plan_tasks(store, packed, ov)
     lens_by_row = np.concatenate([packed.lens, packed.lens])
     args = (packed.codes, packed.quals, lens_by_row, plan.row_first, plan.row_second, plan.pos)

@@ -65,7 +65,10 @@ class Settings:
     output_dir: str = ""
 
     # rebuild-specific knobs (no reference equivalent)
-    backend: str = "jax"  # "jax" device kernels | "numpy" host oracle
+    # "auto" probes the deployment once (ops/autoback.py) and picks the
+    # chip path or the native host engine; "jax" device kernels | "numpy"
+    # host f64 oracle | "native" C++ OpenMP engine
+    backend: str = "auto"
     exact: bool = True  # f64 re-check of near-threshold device scores
     # reproduce the reference binary's output ORDER exactly (quick-cliques
     # emission order + libstdc++ unordered_map iteration order); results are

@@ -47,7 +47,7 @@ def estimate_frequencies_abundance(
     read_store,
     fragment_len: float,
     min_len: int = 0,
-    backend: str = "jax",
+    backend: str = "auto",
 ) -> FreqResult:
     """Kallisto-mode estimation (savage/freq_est.py:195-247) through the
     built-in pseudo-alignment + EM estimator (ops/abundance.py) instead of

@@ -53,7 +53,7 @@ class PolyteConfig:
     max_tip_len: Optional[int] = None
     original_SE_count: int = -1  # split mode
     original_PE_count: int = -1
-    backend: str = "jax"
+    backend: str = "auto"
     kmer_k: int = 20
     # per-iteration re-overlap engine: "auto" uses the TPU sort-join
     # (ops/kmer_device.py) for exact passes when an accelerator is present,

@@ -58,7 +58,7 @@ class SavageConfig:
     output_dir: Optional[str] = None  # enables stage-granular checkpoints
     resume: bool = False  # reuse completed stage checkpoints (reference
     # savage.py --no_stage_a/--no_stage_b skip semantics, files-based)
-    backend: str = "jax"
+    backend: str = "auto"
     kmer_k: int = 20
     profile_dir: str = ""  # capture jax.profiler/xprof traces per stage
     verbose: bool = False

@@ -221,3 +221,42 @@ def test_edges_for_merging_disjoint():
     used = [v for p in pairs for v in p]
     assert len(used) == len(set(used))
     assert (0, 1) in pairs and (3, 4) in pairs
+
+
+def test_native_bfs_labelling_matches_python(monkeypatch):
+    """native/bfslabel.cpp must reproduce the Python seeded-shuffle BFS
+    byte-for-byte: same orientations, visited set, component map, and the
+    same heuristic outcome on a random multi-component graph."""
+    from haploconduct_tpu.graph.algos import _LabelCtx
+    from haploconduct_tpu.native import load_bfslabel_ext
+
+    if load_bfslabel_ext() is None:
+        pytest.skip("native bfslabel unavailable")
+    rng = np.random.default_rng(3)
+    n = 300
+    edges = []
+    for _ in range(600):
+        v1, v2 = rng.integers(0, n, size=2)
+        if v1 == v2:
+            continue
+        edges.append(mk_edge(int(v1), int(v2), ori1=bool(rng.integers(2)),
+                             ori2=bool(rng.integers(2)),
+                             pos3=int(rng.integers(-5, 20))))
+    g = graph_from_edges(n, edges)
+    ctx = _LabelCtx(g)
+    for seed in (1, 2, 7, 55):
+        ori_n = np.ones(n, dtype=bool)
+        vis_n = np.zeros(n, dtype=bool)
+        comp_n = np.full(n, -1, dtype=np.int64)
+        ctx.bfs(seed, ori_n, ctx.order, vis_n, comp_n)
+
+        monkeypatch.setenv("HC_NATIVE_BFS", "0")
+        ori_p = np.ones(n, dtype=bool)
+        vis_p = np.zeros(n, dtype=bool)
+        comp_p = np.full(n, -1, dtype=np.int64)
+        ctx.bfs(seed, ori_p, ctx.order, vis_p, comp_p)
+        monkeypatch.delenv("HC_NATIVE_BFS")
+
+        assert np.array_equal(ori_n, ori_p), seed
+        assert np.array_equal(vis_n, vis_p), seed
+        assert np.array_equal(comp_n, comp_p), seed

@@ -163,3 +163,21 @@ def test_polyte_parity(tmp_path):
 
     first_diff = polyte_parity_debug.main()
     assert first_diff is None, f"POLYTE diverges at iteration {first_diff}"
+
+
+def test_envelope_patch_parity(tmp_path):
+    """Bit-identical stage a vs the reference binary on ONE 44k-read patch
+    of the SAVAGE 10,000x envelope workload (11.8M shared candidates, 18x
+    the example parity scale), plus the measured side-by-side wall-clock
+    (~7 min total; BASELINE.md 'Envelope-patch parity')."""
+    build_reference_binary()
+    import json
+    import subprocess as sp
+
+    r = sp.run([sys.executable, "/root/repo/tools/envelope_patch_parity.py",
+                "--workdir", str(tmp_path / "epp")],
+               capture_output=True, timeout=3600, text=True)
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["bit_identical"], out
+    assert out["ours_contigs"] == out["reference_contigs"], out

@@ -169,6 +169,19 @@ def main():
         our_snap = os.path.join(ourdir, f"it{it}_singles.fastq")
         if not os.path.exists(ref_snap) and not os.path.exists(our_snap):
             break
+        if os.path.exists(ref_snap) and not os.path.exists(our_snap):
+            # the reference's 0-edge terminating iteration exits early and
+            # leaves its INPUT files on disk (ViralQuasispecies.cpp:284-291
+            # deletes only graph.txt), so its itN snapshot is the previous
+            # iteration's state; our driver records no snapshot for the
+            # terminated iteration. Compare ref itN against our it(N-1).
+            import shutil as _sh
+
+            for fname in ("singles.fastq", "paired1.fastq", "subreads.txt",
+                          "overlaps.txt"):
+                prev = os.path.join(ourdir, f"it{it - 1}_{fname}")
+                if os.path.exists(prev):
+                    _sh.copy(prev, os.path.join(ourdir, f"it{it}_{fname}"))
         diffs = compare_iteration(stage_dir, ourdir, it)
         if diffs:
             print(f"=== it{it} DIVERGES ===", file=sys.stderr)
