@@ -13,5 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-if os.environ.get("RUN_TPU") != "1":
+# Under RUN_TPU=1 only the per-test isolated subprocesses (tpu_isolated in
+# tests/test_score.py, marked HC_TPU_SUBPROC=1) talk to the chip; the
+# parent pytest process stays on CPU so exactly ONE tunnel client exists
+# at any time — running every on-chip test in one shared process
+# accumulated device/tunnel state that failed the whole batch (r4 weak #4).
+if os.environ.get("RUN_TPU") != "1" or os.environ.get("HC_TPU_SUBPROC") != "1":
     jax.config.update("jax_platforms", "cpu")

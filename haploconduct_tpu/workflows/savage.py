@@ -74,6 +74,9 @@ class SavageResult:
     combined_store: Optional[ReadStore] = None
     combined_subreads: Optional[SubreadDict] = None
     frequencies: Dict[str, FreqResult] = field(default_factory=dict)
+    # per-stage wall/candidate seconds (stage b/c profile, SURVEY §5
+    # tracing; per-phase splits live in each StageResult.phase_times)
+    timings: Dict[str, float] = field(default_factory=dict)
 
     def contigs(self, stage: str) -> Tuple[List[int], List[str]]:
         res = getattr(self, f"stage_{stage}" if stage in "abc" else stage)
@@ -367,7 +370,9 @@ def run_savage(
         res_b = StageResult(store=b_store, subreads=b_sub,
                             overlap_lines=[], iterations=0)
     else:
+        t0 = time.time()
         overlaps_b = contig_candidates(combined, min_overlap_len, 200, cfg.kmer_k)
+        result.timings["stage_b_candidates_s"] = round(time.time() - t0, 2)
         params_b = StageParams(
             stage="b",
             min_overlap_len=min_overlap_len,
@@ -380,10 +385,14 @@ def run_savage(
             verbose=cfg.verbose,
             profile_dir=cfg.profile_dir,
         )
+        t0 = time.time()
         res_b = run_stage(params_b, combined, overlaps_b,
                           combined_sub if cfg.use_subreads else None)
+        result.timings["stage_b_s"] = round(time.time() - t0, 2)
         if cfg.filtering:
+            t0 = time.time()
             res_b = _freq_filter(res_b, store, avg_len, cfg.backend)
+            result.timings["stage_b_filter_s"] = round(time.time() - t0, 2)
         ckpt_save("stage_b", res_b.store, res_b.subreads)
     result.stage_b = res_b
     result.frequencies["stage_b"] = _freqs(res_b.store, res_b.subreads, min_len=1000)
@@ -398,7 +407,9 @@ def run_savage(
         res_c = StageResult(store=c_store, subreads=c_sub,
                             overlap_lines=[], iterations=0)
     else:
+        t0 = time.time()
         overlaps_c = contig_candidates(res_b.store, cfg.overlap_len_stage_c, sfo_mm_c, cfg.kmer_k)
+        result.timings["stage_c_candidates_s"] = round(time.time() - t0, 2)
         params_c = StageParams(
             stage="c",
             min_overlap_len=cfg.overlap_len_stage_c,
@@ -413,10 +424,14 @@ def run_savage(
             verbose=cfg.verbose,
             profile_dir=cfg.profile_dir,
         )
+        t0 = time.time()
         res_c = run_stage(params_c, res_b.store, overlaps_c,
                           res_b.subreads if cfg.use_subreads else None)
+        result.timings["stage_c_s"] = round(time.time() - t0, 2)
         if cfg.filtering:
+            t0 = time.time()
             res_c = _freq_filter(res_c, store, avg_len, cfg.backend)
+            result.timings["stage_c_filter_s"] = round(time.time() - t0, 2)
         ckpt_save("stage_c", res_c.store, res_c.subreads)
     result.stage_c = res_c
     result.frequencies["stage_c"] = _freqs(res_c.store, res_c.subreads, min_len=1000)

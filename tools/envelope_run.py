@@ -123,6 +123,15 @@ def savage_envelope(genome_len=10000, total_cov=10000, split_num=15,
         "longest_contig": max((len(c) for c in contigs_c), default=0),
         "unit": "s",
     }
+    # stage b/c wall + per-phase splits (the contig-overlap regime the
+    # reference treats as distinct, savage.py:402-448)
+    out["timings"] = res.timings
+    for stage in ("b", "c"):
+        sres = getattr(res, f"stage_{stage}")
+        if sres is not None and sres.phase_times:
+            out[f"stage_{stage}_phases"] = {
+                k: round(v, 1) for k, v in sorted(
+                    sres.phase_times.items(), key=lambda kv: -kv[1])}
     # quality vs the known simulated haplotypes (VERDICT r4 task 2)
     for stage in ("a", "b", "c"):
         try:
