@@ -529,8 +529,8 @@ class FNO1:
         g = self.g
         rows = g.edges
         # current edges (adjacency order)
-        eidx = [e for vtx in range(g.n) for e in g.adj_out[vtx]]
-        self._update_overlaps_batch(rows[np.asarray(eidx, dtype=np.int64)])
+        eidx, _ = g._flat_adj_out()
+        self._update_overlaps_batch(rows[eidx])
         # removed branching/tip/cycle edges
         if len(g.branching_edges):
             self._update_overlaps_batch(

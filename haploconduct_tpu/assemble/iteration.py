@@ -76,11 +76,16 @@ def run_iteration(
     # ---- edge construction (EdgeCalculator::construct_edges)
     with timer("verify"):
         scored_mask, nonedge_prefilter = length_prefilter(overlaps, s)
-        res = verify_overlaps(store, packed, overlaps[scored_mask], s)
-    graph.insert_candidates(res.edges)
-    # nonedge overlaps = prefiltered-out + scored-but-subthreshold
-    nonedge = np.concatenate([overlaps[nonedge_prefilter],
-                              overlaps[scored_mask][res.nonedge_mask]])
+        scored_idx = np.flatnonzero(scored_mask)
+        res = verify_overlaps(store, packed, overlaps[scored_idx], s)
+    with timer("insert"):
+        graph.insert_candidates(res.edges)
+        # nonedge overlaps = prefiltered-out + scored-but-subthreshold
+        # (single gather through the index composition — the struct rows
+        # are ~60B each, so avoiding the intermediate copy matters at
+        # 12M-candidate scale)
+        nonedge = np.concatenate([overlaps[nonedge_prefilter],
+                                  overlaps[scored_idx[res.nonedge_mask]]])
 
     stats = dict(
         n_reads=len(store),

@@ -138,20 +138,21 @@ class _LabelCtx:
     passes differ only in the shuffle seed."""
 
     def __init__(self, g: OverlapGraph):
+        from itertools import chain
+
         rows = g.edges
         n = g.n
         self.g = g
         self.n = n
-        in_counts = np.fromiter((len(l) for l in g.adj_in), np.int64, count=n)
-        out_counts = np.fromiter((len(l) for l in g.adj_out), np.int64, count=n)
-        n_in, n_out = int(in_counts.sum()), int(out_counts.sum())
-        in_flat = np.fromiter((e for l in g.adj_in for e in l), np.int64,
+        in_counts = np.fromiter(map(len, g.adj_in), np.int64, count=n)
+        n_in = int(in_counts.sum())
+        in_flat = np.fromiter(chain.from_iterable(g.adj_in), np.int64,
                               count=n_in)
-        out_flat = np.fromiter((e for l in g.adj_out for e in l), np.int64,
-                               count=n_out)
+        out_flat, out_src = g._flat_adj_out()
+        out_counts = np.bincount(out_src, minlength=n)
+        n_out = len(out_flat)
         in_nb = rows["v1"][in_flat].astype(np.int64)
         out_nb = rows["v2"][out_flat].astype(np.int64)
-        out_src = np.repeat(np.arange(n, dtype=np.int64), out_counts)
         in_dst = np.repeat(np.arange(n, dtype=np.int64), in_counts)
 
         # parity(entry) must equal the parity of the edge get_edge_idx(node,
@@ -371,6 +372,8 @@ def vertex_labelling_heuristic(g: OverlapGraph) -> int:
     for e in to_flip:
         moved = _switch_edge_orientation(g, e)
         assert not moved
+    if to_move or to_delete:
+        g.invalidate_adj_cache()  # direct list surgery below
     for e in to_move:
         rows = g.edges
         old_v1, old_v2 = int(rows["v1"][e]), int(rows["v2"][e])

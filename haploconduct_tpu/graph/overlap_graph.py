@@ -113,6 +113,13 @@ class OverlapGraph:
         self.dup_count = 0
         self.inclusion_count = 0
         self.tip_vertices: set = set()
+        # flat adj_out cache: (edge ids, owning vertex) in list order, valid
+        # while _adj_version is unchanged. Every phase flattens adjacency
+        # (labelling ctx, transitive CSR, sorts, bulk removals); at 44k-read
+        # patch scale the repeated np.fromiter over lists-of-lists was
+        # ~13s/stage of pure re-flattening.
+        self._adj_version = 0
+        self._flat_cache = None
 
     # ------------------------------------------------------------- basics
     @property
@@ -129,6 +136,7 @@ class OverlapGraph:
         return [int(self.edges["v1"][e]) for e in self.adj_in[v]]
 
     def _append_edges(self, rows: np.ndarray) -> np.ndarray:
+        self.invalidate_adj_cache()
         start = len(self.edges)
         self.edges = np.concatenate([self.edges, rows]) if start else rows.copy()
         self.alive = np.concatenate([self.alive, np.ones(len(rows), dtype=bool)])
@@ -160,6 +168,7 @@ class OverlapGraph:
                 if parity is not None:
                     if bool(self.edges["ori1"][e] == self.edges["ori2"][e]) != parity:
                         continue
+                self.invalidate_adj_cache()
                 self.adj_out[v].remove(e)
                 self.adj_in[w].remove(e)
                 self.alive[e] = False
@@ -180,21 +189,28 @@ class OverlapGraph:
         if len(arr) == 0:
             return
         if 4 * len(arr) > self.edge_count:
+            # flat adj_out (possibly cached) first, then mark dead
+            out_flat, out_v = self._flat_adj_out()
             self.alive[arr] = False
             n = self.n
-            for name in ("adj_out", "adj_in"):
-                adj = getattr(self, name)
-                counts = np.fromiter((len(l) for l in adj), np.int64, count=n)
-                total = int(counts.sum())
-                flat = np.fromiter((e for l in adj for e in l), np.int64,
-                                   count=total)
-                keep = self.alive[flat]
-                v_of = np.repeat(np.arange(n, dtype=np.int64), counts)
-                kept = flat[keep]
-                cuts = np.cumsum(np.bincount(v_of[keep], minlength=n))[:-1]
-                setattr(self, name,
-                        [lst.tolist() for lst in np.split(kept, cuts)])
+            from itertools import chain
+
+            keep = self.alive[out_flat]
+            kept, kept_v = out_flat[keep], out_v[keep]
+            cuts = np.cumsum(np.bincount(kept_v, minlength=n))[:-1]
+            self.adj_out = [lst.tolist() for lst in np.split(kept, cuts)]
+            self._set_flat_cache(kept, kept_v)
+
+            in_counts = np.fromiter(map(len, self.adj_in), np.int64, count=n)
+            in_flat = np.fromiter(chain.from_iterable(self.adj_in),
+                                  np.int64, count=int(in_counts.sum()))
+            ikeep = self.alive[in_flat]
+            iv_of = np.repeat(np.arange(n, dtype=np.int64), in_counts)[ikeep]
+            icuts = np.cumsum(np.bincount(iv_of, minlength=n))[:-1]
+            self.adj_in = [lst.tolist()
+                           for lst in np.split(in_flat[ikeep], icuts)]
             return
+        self.invalidate_adj_cache()
         id_set = set(arr.tolist())
         touched_out = np.unique(self.edges["v1"][arr])
         touched_in = np.unique(self.edges["v2"][arr])
@@ -298,15 +314,12 @@ class OverlapGraph:
         then (nol, v2), final tie key = current position in the list (the
         reference's std::list::sort is stable)."""
         rows = self.edges
-        counts = np.fromiter((len(self.adj_out[v]) for v in range(self.n)),
-                             dtype=np.int64, count=self.n)
-        total = int(counts.sum())
+        flat, v1_of = self._flat_adj_out()
+        total = len(flat)
         if total == 0:
             self.adj_in = [[] for _ in range(self.n)]
             return
-        flat = np.fromiter((e for lst in self.adj_out for e in lst),
-                           dtype=np.int64, count=total)
-        v1_of = np.repeat(np.arange(self.n, dtype=np.int64), counts)
+        counts = np.bincount(v1_of, minlength=self.n)
         pos_in = np.arange(total, dtype=np.int64)  # global, but per-v ascending
         read_lens = np.array([self.store.read_len(i) for i in range(len(self.store))], dtype=np.int64)
         v2_of = rows["v2"][flat].astype(np.int64)
@@ -318,6 +331,7 @@ class OverlapGraph:
         flat_sorted = flat[order]
         cuts = np.cumsum(counts)[:-1]
         self.adj_out = [ids.tolist() for ids in np.split(flat_sorted, cuts)]
+        self._set_flat_cache(flat_sorted, v1_of[order])
         # adj_in[w] in v1-major traversal order of the new adj_out
         v2_sorted = v2_of[order]
         in_order = np.lexsort((np.arange(total, dtype=np.int64), v2_sorted))
@@ -325,14 +339,31 @@ class OverlapGraph:
         in_cuts = np.cumsum(in_counts)[:-1]
         self.adj_in = [ids.tolist() for ids in np.split(flat_sorted[in_order], in_cuts)]
 
+    def invalidate_adj_cache(self) -> None:
+        """Must be called after any DIRECT mutation of adj_out lists that
+        bypasses the graph's own methods (graph/algos.py edge moves)."""
+        self._adj_version += 1
+        self._flat_cache = None
+
+    def _set_flat_cache(self, flat: np.ndarray, v_of: np.ndarray) -> None:
+        self._adj_version += 1
+        self._flat_cache = (self._adj_version, flat, v_of)
+
     def _flat_adj_out(self) -> Tuple[np.ndarray, np.ndarray]:
-        """(edge ids, owning vertex) of every adj_out entry in list order."""
-        counts = np.fromiter((len(self.adj_out[v]) for v in range(self.n)),
-                             dtype=np.int64, count=self.n)
+        """(edge ids, owning vertex) of every adj_out entry in list order;
+        cached until the adjacency mutates."""
+        c = self._flat_cache
+        if c is not None and c[0] == self._adj_version:
+            return c[1], c[2]
+        from itertools import chain
+
+        counts = np.fromiter(map(len, self.adj_out), dtype=np.int64,
+                             count=self.n)
         total = int(counts.sum())
-        flat = np.fromiter((e for lst in self.adj_out for e in lst),
+        flat = np.fromiter(chain.from_iterable(self.adj_out),
                            dtype=np.int64, count=total)
         v_of = np.repeat(np.arange(self.n, dtype=np.int64), counts)
+        self._flat_cache = (self._adj_version, flat, v_of)
         return flat, v_of
 
     def sort_adj_out_by_target(self) -> None:
@@ -346,6 +377,7 @@ class OverlapGraph:
         flat_sorted = flat[order]
         cuts = np.cumsum(np.bincount(v_of, minlength=self.n))[:-1]
         self.adj_out = [ids.tolist() for ids in np.split(flat_sorted, cuts)]
+        self._set_flat_cache(flat_sorted, v_of[order])
 
     def rebuild_adj_in(self) -> None:
         """adj_in[w] rebuilt in v1-major adj_out traversal order."""

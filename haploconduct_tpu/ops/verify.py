@@ -164,7 +164,7 @@ def plan_tasks(store: ReadStore, packed: PackedUnits, ov: np.ndarray) -> Tuple[T
         ss = np.ones(n, dtype=bool)
         meta = dict(
             ia=ia, ib=ib, ss=ss, pos3=pos3, pos4=pos4,
-            ori_a=ori_a, ori_b=ori_b, perc=_perc(ov),
+            ori_a=ori_a, ori_b=ori_b, perc=_perc(ov), all_single=True,
         )
         return TaskPlan(row_first, row_second, pos, t1_of, t2_of), meta
 
@@ -240,6 +240,7 @@ def combine_scores(
     With `sel` (overlap indices), combine only that subset — used to patch
     recheck results into an existing edge array instead of recombining the
     whole multi-million-row stream."""
+    all_single = meta.get("all_single", False)
     if sel is None:
         n = len(ov)
         t1, t2 = plan.t1_of, plan.t2_of
@@ -249,16 +250,23 @@ def combine_scores(
         ov = ov[sel]
         t1, t2 = plan.t1_of[sel], plan.t2_of[sel]
         ss = meta["ss"][sel]
-    s1 = ts.score[t1]
-    m1 = ts.mismatch_rate[t1]
-    has2 = t2 >= 0
-    s2 = np.where(has2, ts.score[np.maximum(t2, 0)], 0.0)
-    m2 = np.where(has2, ts.mismatch_rate[np.maximum(t2, 0)], 0.0)
+    if all_single and sel is None:
+        # dominant post-EC case: task k IS overlap k (t1 == arange, no
+        # second task) — skip the gathers and the PE combine entirely
+        # (~6 full passes over the 12M-row stream per iteration)
+        score = ts.score
+        mism = ts.mismatch_rate
+    else:
+        s1 = ts.score[t1]
+        m1 = ts.mismatch_rate[t1]
+        has2 = t2 >= 0
+        s2 = np.where(has2, ts.score[np.maximum(t2, 0)], 0.0)
+        m2 = np.where(has2, ts.mismatch_rate[np.maximum(t2, 0)], 0.0)
 
-    both_pass = (s1 > s.edge_threshold) & (s2 > s.edge_threshold)
-    score_pe = np.where(both_pass, 0.5 * (s1 + s2), np.minimum(s1, s2))
-    score = np.where(ss, s1, score_pe)
-    mism = np.where(ss, m1, np.maximum(m1, m2))
+        both_pass = (s1 > s.edge_threshold) & (s2 > s.edge_threshold)
+        score_pe = np.where(both_pass, 0.5 * (s1 + s2), np.minimum(s1, s2))
+        score = np.where(ss, s1, score_pe)
+        mism = np.where(ss, m1, np.maximum(m1, m2))
 
     def sub(a):
         return a if sel is None else a[sel]
