@@ -82,6 +82,86 @@ class PseudoIndex:
     def n_targets(self) -> int:
         return len(self.names)
 
+    def classify_all(self, read_seqs: Sequence[np.ndarray],
+                     chunk: int = 16384):
+        """Equivalence classes for ALL reads in vectorized passes —
+        identical semantics to per-read classify() (intersection of the
+        contig sets of the read's unique k-mers, skipping k-mers absent
+        from the index; None when nothing matches or the intersection is
+        empty), but ~50x faster: the per-read Python loop was 700s of the
+        10,000x envelope wall (BASELINE.md round 5).
+
+        Count formulation: contig t is in read r's class iff t appears in
+        the tid-list of EVERY matched k-mer of r, i.e. its (r, t) pair
+        count equals r's matched-k-mer count.
+
+        Returns (class_counts: {key: count}, class_members: {key:
+        int32 contig ids}, n_aligned); keys are the members arrays'
+        bytes."""
+        from scipy.sparse import csr_matrix
+
+        from .kmer import _kmer_table
+
+        T = self.n_targets()
+        class_counts: Dict[bytes, int] = {}
+        class_members: Dict[bytes, np.ndarray] = {}
+        n_aligned = 0
+        for start in range(0, len(read_seqs), chunk):
+            batch = read_seqs[start:start + chunk]
+            B = len(batch)
+            lens = np.fromiter(map(len, batch), np.int64, count=B)
+            h, rix, _ = _kmer_table(batch, lens, self.k, seed_step=1)
+            if len(h) == 0:
+                continue
+            # per-read unique hashes (classify() does np.unique per read)
+            order = np.lexsort((h, rix))
+            h, rix = h[order], rix[order]
+            first = np.ones(len(h), dtype=bool)
+            first[1:] = (h[1:] != h[:-1]) | (rix[1:] != rix[:-1])
+            h, rix = h[first], rix[first]
+            # chunk-unique hashes: high-coverage read sets share few
+            # distinct k-mers, so the index expansion happens ONCE per
+            # distinct hash and the per-(read, contig) counting rides a
+            # scipy CSR matmul instead of a flat expansion
+            uh, inv = np.unique(h, return_inverse=True)
+            lo = np.searchsorted(self.h, uh, side="left")
+            hi = np.searchsorted(self.h, uh, side="right")
+            hit_h = hi > lo
+            sel = hit_h[inv]
+            if not sel.any():
+                continue
+            rix_s, inv_s = rix[sel], inv[sel]
+            m_r = np.bincount(rix_s, minlength=B)
+            U = len(uh)
+            A = csr_matrix(
+                (np.ones(len(rix_s), np.int32), (rix_s, inv_s)),
+                shape=(B, U))
+            hcnt = (hi - lo)[hit_h]
+            Eh = int(hcnt.sum())
+            base = np.cumsum(hcnt) - hcnt
+            flat = (np.arange(Eh, dtype=np.int64)
+                    - np.repeat(base, hcnt) + np.repeat(lo[hit_h], hcnt))
+            rowsB = np.repeat(np.flatnonzero(hit_h), hcnt)
+            Bm = csr_matrix(
+                (np.ones(Eh, np.int32), (rowsB, self.tid[flat])),
+                shape=(U, T))
+            cnt = A @ Bm  # (B, T) sparse: co-occurrence counts
+            cnt.sort_indices()
+            row_nnz = np.diff(cnt.indptr)
+            keep = cnt.data == np.repeat(m_r, row_nnz)
+            rows = np.repeat(np.arange(B), row_nnz)[keep]
+            cols32 = cnt.indices[keep].astype(np.int32)
+            row_counts = np.bincount(rows, minlength=B)
+            offs = np.concatenate([[0], np.cumsum(row_counts)])
+            for r in np.flatnonzero(row_counts):
+                mem = cols32[offs[r]:offs[r + 1]]
+                key = mem.tobytes()
+                class_counts[key] = class_counts.get(key, 0) + 1
+                if key not in class_members:
+                    class_members[key] = mem
+                n_aligned += 1
+        return class_counts, class_members, n_aligned
+
     def classify(self, read_codes: np.ndarray) -> Optional[frozenset]:
         """Equivalence class (frozenset of contig ids) for one read, or
         None when no k-mer matches the index (not pseudoaligned)."""
@@ -156,13 +236,7 @@ def estimate_abundance(
     per-contig counts and TPM."""
     index = PseudoIndex(names, contig_seqs, k=k)
     T = index.n_targets()
-    class_counts: Dict[frozenset, int] = {}
-    n_aligned = 0
-    for rc in read_seqs:
-        cls = index.classify(rc)
-        if cls:
-            class_counts[cls] = class_counts.get(cls, 0) + 1
-            n_aligned += 1
+    class_counts, class_members, n_aligned = index.classify_all(read_seqs)
 
     eff_len = np.maximum(index.lengths.astype(np.float64) - fragment_len + 1.0, 1.0)
     if not class_counts or T == 0:
@@ -172,9 +246,8 @@ def estimate_abundance(
 
     classes = list(class_counts.keys())
     membership = np.zeros((len(classes), T), dtype=np.float32)
-    for c, cls in enumerate(classes):
-        for t in cls:
-            membership[c, t] = 1.0
+    for c, key in enumerate(classes):
+        membership[c, class_members[key]] = 1.0
     counts = np.array([class_counts[c] for c in classes], dtype=np.float64)
 
     if backend == "auto":

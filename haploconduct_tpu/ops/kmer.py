@@ -97,18 +97,25 @@ def _kmer_table(seqs, lens, k: int, seed_step: int, subsample: int = 1):
 
 def _kmer_hashes(codes: np.ndarray, k: int) -> np.ndarray:
     """2-bit packed k-mer codes for all positions; positions containing an
-    N get hash -1 (excluded)."""
+    N get hash -1 (excluded).
+
+    Horner over k shifted slices (k length-n vector ops) instead of the
+    (n, k) @ (k,) int64 matmul — integer matmuls have no BLAS path and
+    dominated k-mer hashing at envelope scale; window validity via a
+    cumulative invalid count instead of a second (n, k) reduction."""
     n = len(codes)
     if n < k:
         return np.zeros(0, dtype=np.int64)
     c = codes.astype(np.int64)
-    valid = codes < N_CODE
-    # rolling pack via cumulative trick: hash[i] = sum c[i+j] * 4^(k-1-j)
-    powers = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
-    windows = np.lib.stride_tricks.sliding_window_view(c, k)
-    hashes = windows @ powers
-    ok = np.all(np.lib.stride_tricks.sliding_window_view(valid, k), axis=1)
-    return np.where(ok, hashes, -1)
+    n_out = n - k + 1
+    h = c[:n_out].copy()
+    for j in range(1, k):
+        h <<= 2
+        h |= c[j:j + n_out]
+    bad = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(codes >= N_CODE, out=bad[1:])
+    ok = (bad[k:] - bad[:n_out]) == 0
+    return np.where(ok, h, -1)
 
 
 def find_overlap_candidates(

@@ -137,3 +137,43 @@ def test_savage_freq_filter_drops_zero_tpm_contig():
     kept = [int(out.store.ids[i]) for i in range(len(out.store))]
     assert kept == [0]
     assert set(out.subreads) == {0}
+
+
+def test_classify_all_matches_per_read():
+    """The vectorized batch classifier must reproduce per-read classify()
+    exactly: same classes, same counts, same aligned total."""
+    import numpy as np
+
+    from haploconduct_tpu.core.reads import encode_seq
+    from haploconduct_tpu.ops.abundance import PseudoIndex
+    from haploconduct_tpu.utils.simulate import (mutate_sequence,
+                                                 random_genome,
+                                                 simulate_reads)
+
+    rng = np.random.default_rng(17)
+    g = random_genome(rng, 3000)
+    contigs = [g[:1200], g[1000:2300], g[2000:],
+               mutate_sequence(g[500:1700], rng, sub_rate=0.02)]
+    seqs, _ = simulate_reads([g, mutate_sequence(g, rng, sub_rate=0.03)],
+                             coverage=6, read_len=100, rng=rng,
+                             error_rate=0.01)
+    reads = [encode_seq(s) for s in seqs]
+    # include degenerate reads: shorter than k, and all-N
+    reads.append(encode_seq("ACGT"))
+    reads.append(np.full(60, 4, dtype=np.int8))
+    index = PseudoIndex([str(i) for i in range(len(contigs))],
+                        [encode_seq(c) for c in contigs], k=31)
+
+    expected = {}
+    n_exp = 0
+    for rc in reads:
+        cls = index.classify(rc)
+        if cls:
+            key = np.array(sorted(cls), dtype=np.int32).tobytes()
+            expected[key] = expected.get(key, 0) + 1
+            n_exp += 1
+    got_counts, got_members, n_got = index.classify_all(reads, chunk=37)
+    assert n_got == n_exp
+    assert got_counts == expected
+    for key, mem in got_members.items():
+        assert key == mem.tobytes()
