@@ -480,15 +480,23 @@ def _freq_filter(res: StageResult, read_store: ReadStore, fragment_len: float,
     keep = ab.tpm > 0.0
     if keep.all():
         return res
+    # surviving contigs get NEW consecutive ids, subreads re-keyed — the
+    # reference renames filtered contigs to consecutive ids before the
+    # next stage (savage.py:456-511 via rename_fas), and downstream
+    # contig_candidates emits overlaps in consecutive id space (exposed
+    # by the HIV envelope run, where filtering actually dropped contigs)
     filtered = ReadStore()
+    sub = {}
+    new_id = 0
     for i in range(n):
         if keep[i]:
             u1, _ = res.store.units_of(i)
-            filtered.add_single_codes(ids[i], res.store.unit_codes(u1),
+            filtered.add_single_codes(new_id, res.store.unit_codes(u1),
                                       res.store.unit_quals(u1))
+            if ids[i] in res.subreads:
+                sub[new_id] = res.subreads[ids[i]]
+            new_id += 1
     filtered.readcount_single = len(filtered.ids)
-    sub = {cid: org for cid, org in res.subreads.items()
-           if cid in {ids[i] for i in range(n) if keep[i]}}
     return replace(res, store=filtered, subreads=sub)
 
 

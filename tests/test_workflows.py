@@ -235,3 +235,51 @@ def test_savage_checkpoint_resume(tmp_path):
                       for i in range(len(st)))
 
     assert contig_set(res1) == contig_set(res2)
+
+
+def test_freq_filter_reids_surviving_contigs():
+    """When abundance filtering drops a contig, survivors must get NEW
+    consecutive ids (the reference renames via rename_fas before the next
+    stage) so stage-c candidate overlaps — emitted in consecutive id
+    space — still resolve. Regression: the HIV envelope run crashed with
+    'overlap references unknown read IDs' in stage c."""
+    import numpy as np
+
+    from haploconduct_tpu.assemble.stages import StageResult
+    from haploconduct_tpu.core.reads import ReadStore
+    from haploconduct_tpu.utils.simulate import random_genome, simulate_reads
+    from haploconduct_tpu.workflows.savage import _freq_filter
+
+    rng = np.random.default_rng(21)
+    g = random_genome(rng, 1200)
+    # reads drawn only from g: the unrelated contig gets zero abundance
+    seqs, quals = simulate_reads([g], coverage=8, read_len=120, rng=rng,
+                                 error_rate=0.0)
+    reads = ReadStore()
+    for i, (sq, q) in enumerate(zip(seqs, quals)):
+        reads.add_single(i, sq, q)
+    reads.readcount_single = len(seqs)
+
+    contigs = ReadStore()
+    contigs.add_single(0, g[:700], "I" * 700)
+    contigs.add_single(1, random_genome(rng, 600), "I" * 600)  # orphan
+    contigs.add_single(2, g[500:], "I" * 700)
+    contigs.readcount_single = 3
+    sub = {0: {}, 1: {}, 2: {"x": None}}
+    res = StageResult(store=contigs, subreads=sub, overlap_lines=[],
+                      iterations=1)
+    out = _freq_filter(res, reads, 120.0, "numpy")
+    assert len(out.store) == 2
+    assert [int(out.store.ids[i]) for i in range(2)] == [0, 1]
+    assert set(out.subreads) <= {0, 1}
+
+    # downstream stage-c style candidates must resolve against the store
+    from haploconduct_tpu.assemble.stages import StageParams, run_stage
+    from haploconduct_tpu.workflows.savage import contig_candidates
+
+    ov = contig_candidates(out.store, 100, 50)
+    params = StageParams(stage="c", min_overlap_len=100,
+                         edge_threshold=0.995, remove_branches=True,
+                         max_tip_len=120, first_it=True,
+                         original_readcount=2, backend="numpy")
+    run_stage(params, out.store, ov)  # must not raise

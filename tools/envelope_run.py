@@ -141,6 +141,36 @@ def savage_envelope(genome_len=10000, total_cov=10000, split_num=15,
         if contigs:
             out[f"stage_{stage}_quality"] = quality_metrics(
                 contigs, haps, snps=(stage == "c"))
+
+    # stage-c merge_contigs experiment: the reference's own knob for
+    # merging contigs into master strains (savage.py:481-500, README
+    # "merge contigs" advice) — rerun ONLY stage c from the in-memory
+    # stage-b output at mc=0.01 and score it, so the contiguity-vs-
+    # accuracy trade of the knob is on record next to the mc=0 default
+    if res.stage_b is not None and len(res.stage_b.store):
+        from haploconduct_tpu.assemble.stages import StageParams, run_stage
+        from haploconduct_tpu.core.reads import decode_seq
+        from haploconduct_tpu.workflows.savage import (_original_readcount,
+                                                       contig_candidates)
+
+        mc = 0.01
+        sfo_mm_c = 1 + (0.99 - mc) / (mc + 0.01)
+        t0 = time.time()
+        ov_c = contig_candidates(res.stage_b.store, 100, sfo_mm_c)
+        params = StageParams(
+            stage="c", min_overlap_len=100, edge_threshold=0.995,
+            merge_contigs=mc, remove_branches=True, min_read_len=100,
+            max_tip_len=150, first_it=False,
+            original_readcount=_original_readcount(res.stage_b.subreads),
+            backend="native")
+        res_mc = run_stage(params, res.stage_b.store, ov_c,
+                           res.stage_b.subreads)
+        contigs_mc = [decode_seq(res_mc.store.unit_codes(res_mc.store.unit1[i]))
+                      for i in range(len(res_mc.store))]
+        out["stage_c_mc001"] = dict(
+            wall_s=round(time.time() - t0, 1),
+            **(quality_metrics(contigs_mc, haps, snps=True)
+               if contigs_mc else {}))
     print(json.dumps(out))
     return out
 
