@@ -76,16 +76,25 @@ def run_iteration(
     # ---- edge construction (EdgeCalculator::construct_edges)
     with timer("verify"):
         scored_mask, nonedge_prefilter = length_prefilter(overlaps, s)
-        scored_idx = np.flatnonzero(scored_mask)
-        res = verify_overlaps(store, packed, overlaps[scored_idx], s)
+        if scored_mask.all():
+            # the k-mer engine already filters by min overlap length at
+            # emission and never emits self overlaps, so iteration 1
+            # usually keeps everything — skip the ~45B/row subset copy
+            scored_idx = None
+            res = verify_overlaps(store, packed, overlaps, s)
+        else:
+            scored_idx = np.flatnonzero(scored_mask)
+            res = verify_overlaps(store, packed, overlaps[scored_idx], s)
     with timer("insert"):
         graph.insert_candidates(res.edges)
         # nonedge overlaps = prefiltered-out + scored-but-subthreshold
         # (single gather through the index composition — the struct rows
-        # are ~60B each, so avoiding the intermediate copy matters at
+        # are ~45B each, so avoiding intermediate copies matters at
         # 12M-candidate scale)
+        sub_idx = (np.flatnonzero(res.nonedge_mask) if scored_idx is None
+                   else scored_idx[res.nonedge_mask])
         nonedge = np.concatenate([overlaps[nonedge_prefilter],
-                                  overlaps[scored_idx[res.nonedge_mask]]])
+                                  overlaps[sub_idx]])
 
     stats = dict(
         n_reads=len(store),
