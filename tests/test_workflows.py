@@ -283,3 +283,21 @@ def test_freq_filter_reids_surviving_contigs():
                          max_tip_len=120, first_it=True,
                          original_readcount=2, backend="numpy")
     run_stage(params, out.store, ov)  # must not raise
+
+
+@pytest.mark.skipif(__import__("os").environ.get("RUN_SLOW") != "1",
+                    reason="envelope-scale; set RUN_SLOW=1")
+def test_polyte_split_envelope_regression():
+    """The 120kb polyte-split envelope workload is fully deterministic
+    (fixed seeds); pin its converged output so envelope-scale regressions
+    are caught without eyeballing BASELINE.md (~60s)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import envelope_run
+
+    out = envelope_run.polyte_envelope()
+    assert out["final_contigs"] == 435, out
+    assert out["sum_final_bp"] == 296804, out
+    assert out["longest_contig"] == 2686, out
+    assert out["n_regions"] == 12, out
