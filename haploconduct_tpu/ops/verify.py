@@ -277,14 +277,18 @@ def combine_scores(
     edges["score"] = score
     edges["mismatch_rate"] = mism
     edges["pos1"] = ov["pos1"]
-    edges["pos2"] = ov["pos2"]
     edges["pos3"] = sub(meta["pos3"])
-    edges["pos4"] = sub(meta["pos4"])
     edges["ori1"] = sub(meta["ori_a"])
     edges["ori2"] = sub(meta["ori_b"])
     edges["ord"] = ov["ord"]
     edges["perc"] = sub(meta["perc"])
     edges["len1"] = ov["len1"]
+    edges["pos2"] = ov["pos2"]
+    if all_single and sel is None:
+        # pos4/len2 are guaranteed zero by the all-single plan — the
+        # zeros() init already wrote them (2 fewer strided passes)
+        return edges
+    edges["pos4"] = sub(meta["pos4"])
     # S-S edges record len2=0 even if the file carried one (set_len(len1, 0))
     edges["len2"] = np.where(ss, 0, ov["len2"])
     return edges
@@ -410,15 +414,21 @@ def _exact_mismatch_rates(plan: TaskPlan, ts: TaskScores, lens_by_row, kw) -> Ta
     """
     if len(plan.row_first) == 0:
         return ts
-    len_a = lens_by_row[plan.row_first].astype(np.int64)
-    len_b = lens_by_row[plan.row_second].astype(np.int64)
     min_read_len = kw["min_read_len"]
-    degenerate = (
-        (plan.pos >= len_a)
-        | (len_a < min_read_len)
-        | (len_b < min_read_len)
-        | (ts.counted == 0)
-    )
+    if min_read_len == 0:
+        # pos >= len_a implies zero valid positions, so with no min-length
+        # constraint `counted == 0` IS the degenerate set — skip two
+        # 12M-element row-length gathers on the hot savage path
+        degenerate = ts.counted == 0
+    else:
+        len_a = lens_by_row[plan.row_first].astype(np.int64)
+        len_b = lens_by_row[plan.row_second].astype(np.int64)
+        degenerate = (
+            (plan.pos >= len_a)
+            | (len_a < min_read_len)
+            | (len_b < min_read_len)
+            | (ts.counted == 0)
+        )
     ok = ~degenerate & ~ts.rejected
     with np.errstate(divide="ignore", invalid="ignore"):
         exact = np.where(
