@@ -339,3 +339,22 @@ def test_fno_batch_matches_scalar(monkeypatch):
     assert results["0"][0] == results["1"][0]
     assert results["0"][1] == results["1"][1]
     assert results["0"][2] == results["1"][2]
+
+
+def test_perc_f32_reference_semantics():
+    """_perc_f32 must reproduce the reference's single-precision percent
+    math (FindNextOverlaps.cpp:375): f32 divisions AND f32 *100 product.
+    87/150 is the boundary case envelope-patch parity exposed — 58 in
+    f32, 57 in f64."""
+    import math
+
+    from haploconduct_tpu.assemble.fno import _perc_f32
+
+    assert _perc_f32(87, 150) == 58
+    assert math.floor(max(87 / float(150), 87 / float(150)) * 100) == 57
+    assert _perc_f32(87, 150, 150) == 58
+    assert _perc_f32(100, 100) == 100
+    assert _perc_f32(1, 3) == 33
+    assert _perc_f32(2, 3) == 66
+    # max over two lengths picks the larger ratio
+    assert _perc_f32(50, 100, 200) == 50

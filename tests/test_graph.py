@@ -260,3 +260,24 @@ def test_native_bfs_labelling_matches_python(monkeypatch):
         assert np.array_equal(ori_n, ori_p), seed
         assert np.array_equal(vis_n, vis_p), seed
         assert np.array_equal(comp_n, comp_p), seed
+
+
+def test_f64_order_key_total_order():
+    """The IEEE bit transform behind the packed tie-break lexsort must
+    order floats exactly, including negatives (mismatch_rate carries a
+    -1 sentinel) and the desc complement."""
+    from haploconduct_tpu.graph.overlap_graph import _f64_order_key
+
+    vals = np.array([-1.0, -0.5, 0.0, 1e-300, 0.25, 0.5, 0.9999, 1.0])
+    keys = _f64_order_key(vals)
+    assert (np.diff(keys.astype(np.float64)) > 0).all() or \
+        (keys[:-1] < keys[1:]).all()
+    # descending via complement
+    dkeys = ~keys
+    assert (dkeys[:-1] > dkeys[1:]).all()
+    # order preserved under shuffle + argsort
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(1000)
+    k = _f64_order_key(v)
+    assert np.array_equal(np.argsort(k, kind="stable"),
+                          np.argsort(v, kind="stable"))
